@@ -1,0 +1,187 @@
+"""Framing, overlap-add, STFT, spectrogram and mel utilities.
+
+Behavioral contracts covered (with reference citations):
+  - frame/overlap_add implement the unfold/nn.Fold pairs used by the
+    CombSubFast synthesizer (/root/reference/ddsp/vocoder.py:463-487) and the
+    LTV-FIR filter (/root/reference/ddsp/core.py:216-235).
+  - spectrogram matches torchaudio.transforms.Spectrogram(power=1,
+    normalized=True, center=False) used by the SSS loss
+    (/root/reference/ddsp/loss.py:14).
+  - stft/mel match the NSF-HiFiGAN mel frontend
+    (/root/reference/nsf_hifigan/nvSTFT.py:65-119): manual asymmetric pad,
+    center=False torch.stft, librosa slaney mel basis, log(clamp(mel,1e-5)).
+
+TPU-first notes: all shapes static; FFT sizes are powers of two wherever the
+math allows (zero-padded linear convolution is exact under padding); the 50%
+overlap-add is computed as two shifted adds (no scatter) since that is the
+synthesis hot path.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+from .windows import hann_window
+
+
+def next_pow2(n: int) -> int:
+    return 1 << (int(n) - 1).bit_length()
+
+
+def frame_signal(x: jnp.ndarray, frame_size: int, hop: int) -> jnp.ndarray:
+    """:: (B, T) -> (B, n_frames, frame_size), n = (T - frame)//hop + 1.
+
+    Static strided gather (torch `unfold` semantics).
+    """
+    t = x.shape[-1]
+    n = (t - frame_size) // hop + 1
+    idx = np.arange(n)[:, None] * hop + np.arange(frame_size)[None, :]
+    return x[..., idx]
+
+
+def overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """:: (B, n, frame) -> (B, (n-1)*hop + frame). General OLA (nn.Fold)."""
+    b, n, frame = frames.shape
+    if frame == 2 * hop:
+        return overlap_add_half(frames, hop)
+    out_len = (n - 1) * hop + frame
+    idx = (np.arange(n)[:, None] * hop + np.arange(frame)[None, :]).reshape(-1)
+    out = jnp.zeros((b, out_len), dtype=frames.dtype)
+    return out.at[:, idx].add(frames.reshape(b, -1))
+
+
+def overlap_add_half(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """50%-overlap OLA as two shifted adds — no scatter, fully fusable.
+
+    :: (B, n, 2*hop) -> (B, (n+1)*hop)
+    """
+    b, n, frame = frames.shape
+    assert frame == 2 * hop
+    first = frames[:, :, :hop].reshape(b, n * hop)
+    second = frames[:, :, hop:].reshape(b, n * hop)
+    pad = jnp.zeros((b, hop), dtype=frames.dtype)
+    return jnp.concatenate([first, pad], 1) + jnp.concatenate([pad, second], 1)
+
+
+def stft(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    window: jnp.ndarray,
+    center: bool = False,
+    pad_mode: str = "reflect",
+) -> jnp.ndarray:
+    """Short-time Fourier transform. :: (B, T) -> (B, n_frames, n_fft//2+1) complex.
+
+    `window` may be shorter than n_fft (centered zero-pad, torch.stft
+    semantics).
+    """
+    win_length = window.shape[0]
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+    if center:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)],
+                    mode=pad_mode)
+    frames = frame_signal(x, n_fft, hop) * window
+    return jnp.fft.rfft(frames, n_fft)
+
+
+def spectrogram(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop: int | None = None,
+    power: float = 1.0,
+    normalized: bool = True,
+    center: bool = False,
+) -> jnp.ndarray:
+    """Magnitude spectrogram matching torchaudio Spectrogram semantics.
+
+    Returns (B, n_fft//2+1, n_frames) (torchaudio channel-first layout) so
+    loss code can take norms over (freq, time) axes directly.
+    """
+    hop = n_fft if hop is None else hop
+    win = hann_window(n_fft, dtype=x.dtype)
+    spec = stft(x, n_fft, hop, win, center=center)
+    mag = jnp.abs(spec)
+    if power != 1.0:
+        mag = mag ** power
+    if normalized:  # torchaudio 'window' normalization
+        mag = mag / jnp.sqrt(jnp.sum(win * win))
+    return jnp.swapaxes(mag, -1, -2)
+
+
+# ------------------------------- mel ---------------------------------------
+
+
+def _hz_to_mel(f: np.ndarray | float) -> np.ndarray:
+    """Slaney mel scale (librosa default, htk=False)."""
+    f = np.asarray(f, dtype=np.float64)
+    f_sp = 200.0 / 3
+    mel = f / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(f >= min_log_hz, min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep, mel)
+
+
+def _mel_to_hz(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    f_sp = 200.0 / 3
+    freqs = f_sp * m
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(m >= min_log_mel, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
+
+
+@lru_cache(maxsize=16)
+def mel_filterbank(
+    sr: int, n_fft: int, n_mels: int, fmin: float = 0.0, fmax: float | None = None
+) -> np.ndarray:
+    """Slaney-normalized triangular mel filterbank, librosa.filters.mel parity.
+
+    Returns (n_mels, n_fft//2 + 1) float32.
+    """
+    fmax = sr / 2 if fmax is None else fmax
+    fft_freqs = np.linspace(0.0, sr / 2, n_fft // 2 + 1)
+    mel_pts = np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts)
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fft_freqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    # Slaney normalization: scale by 2 / bandwidth
+    enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+    weights = weights * enorm[:, None]
+    return weights.astype(np.float32)
+
+
+def log_mel_spectrogram(
+    x: jnp.ndarray,
+    sr: int,
+    n_fft: int,
+    hop: int,
+    win_length: int,
+    n_mels: int,
+    fmin: float,
+    fmax: float,
+    clip_val: float = 1e-5,
+) -> jnp.ndarray:
+    """NSF-HiFiGAN mel frontend (nvSTFT.get_mel parity, keyshift=0 path).
+
+    Manual asymmetric padding then center=False STFT; log(clamp(mel, clip)).
+    :: (B, T) -> (B, n_mels, n_frames)
+    """
+    pad_l = (win_length - hop) // 2
+    pad_r = max((win_length - hop + 1) // 2, hop)
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_l, pad_r)], mode="reflect")
+    win = hann_window(win_length, dtype=x.dtype)
+    spec = stft(x, n_fft, hop, win, center=False)
+    mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2 + 1e-9)
+    basis = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
+    mel = jnp.einsum("mf,btf->bmt", basis, mag)
+    return jnp.log(jnp.clip(mel, clip_val, None))
