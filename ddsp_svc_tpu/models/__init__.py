@@ -1,0 +1,9 @@
+from .synths import Sins, CombSub, CombSubFast
+from .losses import sss_loss, RSSLoss, mel_l1, default_buckets
+from .factory import build_model, load_model
+
+__all__ = [
+    "Sins", "CombSub", "CombSubFast",
+    "sss_loss", "RSSLoss", "mel_l1", "default_buckets",
+    "build_model", "load_model",
+]

@@ -1,0 +1,277 @@
+"""Differentiable DSP synthesizers: Sins, CombSubFast, CombSub.
+
+Capability parity with /root/reference/ddsp/vocoder.py:372-550, re-expressed
+as pure flax modules over the TPU-native ops layer. All three share the
+contract:
+
+    signal, phase_out, (component_a, component_b) = model.apply(
+        variables, units, f0_frames, volume_frames, spk_id,
+        spk_mix_dict=..., initial_phase=..., infer=..., noise=...,
+        rngs={'noise': key})   # rngs only needed when noise is None
+
+  units  :: (B, Frame, Feat)   f0_frames :: (B, Frame, 1)
+  volume :: (B, Frame)         spk_id    :: (B,) 1-based
+
+`infer=True` selects the high-precision (compensated) phase accumulation, as
+the reference selects fp64 (vocoder.py:392,450). Noise excitation can be
+injected explicitly (parity tests) or drawn from the 'noise' rng stream.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..nn.unit2control import Unit2Control
+from ..ops import (
+    upsample_frames,
+    f0_to_rot,
+    frequency_filter,
+    combtooth as combtooth_op,
+    oscillator_bank,
+    remove_above_fmax,
+    sqrt_hann_window,
+    frame_signal,
+    overlap_add_half,
+)
+
+Output = Tuple[jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]
+
+
+class Sins(nn.Module):
+    """Additive harmonic-oscillator-bank synthesizer (vocoder.py:372-423)."""
+
+    sampling_rate: int
+    block_size: int
+    n_harmonics: int
+    n_mag_allpass: int
+    n_mag_noise: int
+    n_unit: int = 256
+    n_spk: int = 1
+    causal: bool = False
+
+    def setup(self):
+        self.unit2ctrl = Unit2Control(
+            self.n_unit,
+            self.n_spk,
+            {
+                "amplitudes": self.n_harmonics,
+                "group_delay": self.n_mag_allpass,
+                "noise_magnitude": self.n_mag_noise,
+            },
+            self.causal,
+        )
+
+    def __call__(
+        self,
+        units_frames: jnp.ndarray,
+        f0_frames: jnp.ndarray,
+        volume_frames: jnp.ndarray,
+        spk_id: Optional[jnp.ndarray] = None,
+        spk_mix_dict: Optional[Dict[int, float]] = None,
+        initial_phase: Optional[jnp.ndarray] = None,
+        infer: bool = True,
+        max_upsample_dim: int = 32,
+        noise: Optional[jnp.ndarray] = None,
+    ) -> Output:
+        f0 = upsample_frames(f0_frames, self.block_size)[..., 0]  # (B, T)
+        phase = 2.0 * np.pi * f0_to_rot(
+            f0, self.sampling_rate, initial_phase, precise=infer
+        )
+        phase_frames = phase[:, :: self.block_size]
+
+        ctrls = self.unit2ctrl(
+            units_frames, f0_frames, phase_frames, volume_frames, spk_id,
+            spk_mix_dict=spk_mix_dict,
+        )
+        amplitudes_frames = jnp.exp(ctrls["amplitudes"]) / 128.0
+        group_delay = np.pi * jnp.tanh(ctrls["group_delay"])
+        noise_param = jnp.exp(ctrls["noise_magnitude"]) / 128.0
+
+        amplitudes_frames = remove_above_fmax(
+            amplitudes_frames, f0_frames, self.sampling_rate / 2.0, level_start=1
+        )
+        sinusoids = oscillator_bank(
+            phase, amplitudes_frames, self.block_size,
+            harmonic_chunk=max_upsample_dim,
+        )
+
+        # harmonic all-pass (predicted group delay)
+        harmonic = frequency_filter(
+            sinusoids,
+            jnp.exp(1j * jnp.cumsum(group_delay, axis=-1)),
+            hann_windowed=False,
+        )
+        # filtered uniform noise
+        if noise is None:
+            noise = (
+                jax.random.uniform(self.make_rng("noise"), harmonic.shape,
+                                   dtype=harmonic.dtype) * 2.0 - 1.0
+            )
+        noise = frequency_filter(
+            noise, noise_param + 0j, hann_windowed=True
+        )
+        signal = harmonic + noise
+        return signal, phase[..., None], (harmonic, noise)
+
+
+class CombSubFast(nn.Module):
+    """Combtooth subtractive synthesizer, STFT-domain (vocoder.py:426-492).
+
+    The default model of the reference (configs/combsub.yaml). Excitation is
+    a sinc comb; per-frame complex filters exp(mag + j*pi*phase) (harmonic)
+    and exp(mag)/128 (noise) are applied in a sqrt-Hann 50%-overlap
+    analysis/synthesis framework.
+    """
+
+    sampling_rate: int
+    block_size: int
+    n_unit: int = 256
+    n_spk: int = 1
+    causal: bool = False
+
+    def setup(self):
+        self.unit2ctrl = Unit2Control(
+            self.n_unit,
+            self.n_spk,
+            {
+                "harmonic_magnitude": self.block_size + 1,
+                "harmonic_phase": self.block_size + 1,
+                "noise_magnitude": self.block_size + 1,
+            },
+            self.causal,
+        )
+
+    def __call__(
+        self,
+        units_frames: jnp.ndarray,
+        f0_frames: jnp.ndarray,
+        volume_frames: jnp.ndarray,
+        spk_id: Optional[jnp.ndarray] = None,
+        spk_mix_dict: Optional[Dict[int, float]] = None,
+        initial_phase: Optional[jnp.ndarray] = None,
+        infer: bool = True,
+        noise: Optional[jnp.ndarray] = None,
+        **kwargs,
+    ) -> Output:
+        bs = self.block_size
+        f0 = upsample_frames(f0_frames, bs)[..., 0]  # (B, T)
+        rot = f0_to_rot(f0, self.sampling_rate, initial_phase, precise=infer)
+        phase_frames = 2.0 * np.pi * rot[:, ::bs]
+
+        ctrls = self.unit2ctrl(
+            units_frames, f0_frames, phase_frames, volume_frames, spk_id,
+            spk_mix_dict=spk_mix_dict,
+        )
+        harmo_mag = ctrls["harmonic_magnitude"]
+        harmo_phase = ctrls["harmonic_phase"]
+        noise_mag = ctrls["noise_magnitude"]
+
+        # excitations
+        tooth = combtooth_op(rot, f0, self.sampling_rate)
+        if noise is None:
+            noise = (
+                jax.random.uniform(self.make_rng("noise"), tooth.shape,
+                                   dtype=tooth.dtype) * 2.0 - 1.0
+            )
+
+        window = sqrt_hann_window(2 * bs, dtype=tooth.dtype)
+        tooth_frames = (
+            frame_signal(jnp.pad(tooth, ((0, 0), (bs, bs))), 2 * bs, bs) * window
+        )
+        noise_frames = (
+            frame_signal(jnp.pad(noise, ((0, 0), (bs, bs))), 2 * bs, bs) * window
+        )
+
+        # frequency-domain filters (last frame repeated to match n+1 frames)
+        src_filter = jnp.exp(harmo_mag + 1j * np.pi * harmo_phase)
+        src_filter = jnp.concatenate([src_filter, src_filter[:, -1:, :]], 1)
+        noise_filter = jnp.exp(noise_mag) / 128.0
+        noise_filter = jnp.concatenate([noise_filter, noise_filter[:, -1:, :]], 1)
+
+        tooth_fft = jnp.fft.rfft(tooth_frames, 2 * bs)
+        noise_fft = jnp.fft.rfft(noise_frames, 2 * bs)
+        signal_fft = tooth_fft * src_filter + noise_fft * noise_filter
+        signal_frames = jnp.fft.irfft(signal_fft, 2 * bs) * window
+
+        signal = overlap_add_half(signal_frames, bs)  # (B, (n+2)*bs)
+        signal = signal[:, bs:-bs]
+        return signal, phase_frames[..., None], (signal, signal)
+
+
+class CombSub(nn.Module):
+    """Combtooth subtractive synthesizer, LTV-FIR cascade — the 'old' model
+    (vocoder.py:495-550): all-pass(predicted group delay) then dynamic-
+    windowed magnitude filter, plus constant-windowed filtered noise."""
+
+    sampling_rate: int
+    block_size: int
+    n_mag_allpass: int
+    n_mag_harmonic: int
+    n_mag_noise: int
+    n_unit: int = 256
+    n_spk: int = 1
+    causal: bool = False
+
+    def setup(self):
+        self.unit2ctrl = Unit2Control(
+            self.n_unit,
+            self.n_spk,
+            {
+                "group_delay": self.n_mag_allpass,
+                "harmonic_magnitude": self.n_mag_harmonic,
+                "noise_magnitude": self.n_mag_noise,
+            },
+            self.causal,
+        )
+
+    def __call__(
+        self,
+        units_frames: jnp.ndarray,
+        f0_frames: jnp.ndarray,
+        volume_frames: jnp.ndarray,
+        spk_id: Optional[jnp.ndarray] = None,
+        spk_mix_dict: Optional[Dict[int, float]] = None,
+        initial_phase: Optional[jnp.ndarray] = None,
+        infer: bool = True,
+        noise: Optional[jnp.ndarray] = None,
+        **kwargs,
+    ) -> Output:
+        bs = self.block_size
+        f0 = upsample_frames(f0_frames, bs)[..., 0]
+        rot = f0_to_rot(f0, self.sampling_rate, initial_phase, precise=infer)
+        phase_frames = 2.0 * np.pi * rot[:, ::bs]
+
+        ctrls = self.unit2ctrl(
+            units_frames, f0_frames, phase_frames, volume_frames, spk_id,
+            spk_mix_dict=spk_mix_dict,
+        )
+        group_delay = np.pi * jnp.tanh(ctrls["group_delay"])
+        src_param = jnp.exp(ctrls["harmonic_magnitude"])
+        noise_param = jnp.exp(ctrls["noise_magnitude"]) / 128.0
+
+        tooth = combtooth_op(rot, f0, self.sampling_rate, zero_unvoiced=False)
+        harmonic = frequency_filter(
+            tooth,
+            jnp.exp(1j * jnp.cumsum(group_delay, axis=-1)),
+            hann_windowed=False,
+        )
+        harmonic = frequency_filter(
+            harmonic,
+            src_param + 0j,
+            hann_windowed=True,
+            half_width_frames=1.5 * self.sampling_rate / (f0_frames + 1e-3),
+        )
+
+        if noise is None:
+            noise = (
+                jax.random.uniform(self.make_rng("noise"), harmonic.shape,
+                                   dtype=harmonic.dtype) * 2.0 - 1.0
+            )
+        noise = frequency_filter(noise, noise_param + 0j, hann_windowed=True)
+
+        signal = harmonic + noise
+        return signal, phase_frames[..., None], (harmonic, noise)

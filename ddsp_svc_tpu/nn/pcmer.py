@@ -1,0 +1,261 @@
+"""PCmer: conformer-performer control-network backbone.
+
+Capability parity with /root/reference/ddsp/pcmer.py: a stack of layers, each
+    x = x + FastAttention(LayerNorm(x));  x = x + ConformerConvModule(x)
+where FastAttention is Performer FAVOR+ (softmax kernel with a Gaussian
+orthogonal random projection, dim_head=64, nb_features=int(64*ln 64)=266) and
+the conv module is LN -> pointwise(2x expansion) -> GLU -> depthwise k31
+(optionally causal) -> SiLU -> pointwise.
+
+TPU-native notes:
+  - The non-causal linear attention is three einsums — pure MXU work.
+  - The causal variant replaces the reference's CUDA `CausalDotProduct`
+    (pcmer.py:8,176-188) with a *chunked prefix scan*: per chunk of C frames
+    we do two CxC / Cxm matmuls plus a carried (m x d) state update — all MXU
+    ops, sequential only across T/C steps (lax.scan). See
+    `causal_linear_attention`.
+  - The random projection is drawn once, deterministically from a per-layer
+    seed, and baked into the graph as a constant (the reference's
+    redraw_projection_matrix is never called during training either —
+    pcmer.py:203-207). Redraw = rebuild the module with a new seed.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import Conv1d, glu
+
+
+def gaussian_orthogonal_random_matrix(
+    nb_rows: int, nb_columns: int, seed: int
+) -> np.ndarray:
+    """Orthogonal random feature projection (Performer; pcmer.py:93-120).
+
+    Blocks of QR-orthogonalized Gaussian matrices, rescaled so row norms are
+    chi-distributed like an unstructured Gaussian (scaling=0 mode).
+    """
+    rng = np.random.default_rng(seed)
+    blocks = []
+    n_full = nb_rows // nb_columns
+    for _ in range(n_full):
+        q, _ = np.linalg.qr(rng.standard_normal((nb_columns, nb_columns)))
+        blocks.append(q.T)
+    rem = nb_rows - n_full * nb_columns
+    if rem > 0:
+        q, _ = np.linalg.qr(rng.standard_normal((nb_columns, nb_columns)))
+        blocks.append(q.T[:rem])
+    final = np.concatenate(blocks, axis=0)
+    multiplier = np.linalg.norm(
+        rng.standard_normal((nb_rows, nb_columns)), axis=1
+    )
+    return (np.diag(multiplier) @ final).astype(np.float32)
+
+
+def softmax_kernel(
+    data: jnp.ndarray,
+    projection: jnp.ndarray,
+    is_query: bool,
+    normalize_data: bool = True,
+    eps: float = 1e-4,
+) -> jnp.ndarray:
+    """FAVOR+ positive softmax features (pcmer.py:123-159).
+
+    data :: (B, H, T, d); projection :: (m, d) -> (B, H, T, m)
+    """
+    d = data.shape[-1]
+    data_normalizer = d ** -0.25 if normalize_data else 1.0
+    ratio = projection.shape[0] ** -0.5
+    data_dash = jnp.einsum(
+        "bhid,jd->bhij", data_normalizer * data, projection.astype(data.dtype)
+    )
+    diag_data = jnp.sum(data * data, axis=-1) * 0.5 * (data_normalizer ** 2)
+    diag_data = diag_data[..., None]
+    if is_query:
+        out = ratio * (
+            jnp.exp(
+                data_dash
+                - diag_data
+                - jnp.max(data_dash, axis=-1, keepdims=True)
+            )
+            + eps
+        )
+    else:
+        out = ratio * jnp.exp(data_dash - diag_data + eps)
+    return out
+
+
+def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Non-causal linear attention (pcmer.py:69-77). q,k :: (B,H,T,m); v :: (B,H,T,d)."""
+    k_sum = jnp.sum(k, axis=-2)
+    d_inv = 1.0 / (jnp.einsum("...nd,...d->...n", q, k_sum) + 1e-8)
+    context = jnp.einsum("...nd,...ne->...de", k, v)
+    return jnp.einsum("...de,...nd,...n->...ne", context, q, d_inv)
+
+
+def causal_linear_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, chunk: int = 128, eps: float = 1e-6
+) -> jnp.ndarray:
+    """Causal linear attention as a chunked prefix scan (TPU replacement for
+    the reference's CUDA CausalDotProduct, pcmer.py:170-188).
+
+    out[t] = (q[t] @ S_t) / (q[t] . K_t),  S_t = sum_{s<=t} k[s] v[s]^T,
+    K_t = cumsum(k)[t] + eps.
+
+    Within a chunk the causal interaction is a masked (C x C) matmul; across
+    chunks a (m x d) state and an (m,) key-sum are carried — the only
+    sequential dependency, which also makes time-axis sharding cheap (the
+    carried state is a single m x d matrix per head; cf. SURVEY §2.3).
+    """
+    b, h, t, m = q.shape
+    d = v.shape[-1]
+    pad = (-t) % chunk
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    n_chunks = q.shape[2] // chunk
+    qc = q.reshape(b, h, n_chunks, chunk, m).transpose(2, 0, 1, 3, 4)
+    kc = k.reshape(b, h, n_chunks, chunk, m).transpose(2, 0, 1, 3, 4)
+    vc = v.reshape(b, h, n_chunks, chunk, d).transpose(2, 0, 1, 3, 4)
+
+    causal_mask = jnp.tril(jnp.ones((chunk, chunk), dtype=q.dtype))
+
+    def body(carry, inp):
+        s_prev, ksum_prev = carry  # (B,H,m,d), (B,H,m)
+        qi, ki, vi = inp
+        attn = jnp.einsum("bhim,bhjm->bhij", qi, ki) * causal_mask
+        num = jnp.einsum("bhij,bhjd->bhid", attn, vi) + jnp.einsum(
+            "bhim,bhmd->bhid", qi, s_prev
+        )
+        k_cum = jnp.cumsum(ki, axis=-2) + ksum_prev[:, :, None, :]
+        denom = jnp.einsum("bhim,bhim->bhi", qi, k_cum + eps)
+        out = num / denom[..., None]
+        s_new = s_prev + jnp.einsum("bhjm,bhjd->bhmd", ki, vi)
+        ksum_new = ksum_prev + jnp.sum(ki, axis=-2)
+        return (s_new, ksum_new), out
+
+    init = (
+        jnp.zeros((b, h, m, d), dtype=q.dtype),
+        jnp.zeros((b, h, m), dtype=q.dtype),
+    )
+    _, outs = jax.lax.scan(body, init, (qc, kc, vc))
+    out = outs.transpose(1, 2, 0, 3, 4).reshape(b, h, -1, d)
+    return out[:, :, :t, :]
+
+
+class SelfAttention(nn.Module):
+    """Multi-head Performer self-attention (pcmer.py:221-251)."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    causal: bool = False
+    proj_seed: int = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim_head * self.heads
+        nb_features = int(self.dim_head * math.log(self.dim_head))
+        # The projection lives in the 'constants' collection: excluded from
+        # the optimizer, injectable by weight converters / redraw utilities.
+        proj_var = self.variable(
+            "constants",
+            "projection",
+            lambda: jnp.asarray(
+                gaussian_orthogonal_random_matrix(
+                    nb_features, self.dim_head, seed=self.proj_seed
+                )
+            ),
+        )
+        projection = proj_var.value
+        q = nn.Dense(inner, name="to_q")(x)
+        k = nn.Dense(inner, name="to_k")(x)
+        v = nn.Dense(inner, name="to_v")(x)
+
+        def split_heads(t):
+            b, n, _ = t.shape
+            return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = map(split_heads, (q, k, v))
+        q = softmax_kernel(q, projection, is_query=True)
+        k = softmax_kernel(k, projection, is_query=False)
+        if self.causal:
+            out = causal_linear_attention(q, k, v)
+        else:
+            out = linear_attention(q, k, v)
+        b, h, n, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        return nn.Dense(self.dim, name="to_out")(out)
+
+
+class ConformerConvModule(nn.Module):
+    """LN -> pointwise x2 -> GLU -> depthwise k31 -> SiLU -> pointwise
+    (pcmer.py:42-63)."""
+
+    dim: int
+    causal: bool = False
+    expansion_factor: int = 2
+    kernel_size: int = 31
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim * self.expansion_factor
+        x = nn.LayerNorm(epsilon=1e-5)(x)
+        x = nn.Dense(inner * 2)(x)
+        x = glu(x, axis=-1)
+        x = Conv1d(
+            inner, self.kernel_size, causal=self.causal, groups=inner
+        )(x)
+        x = jax.nn.silu(x)
+        x = nn.Dense(self.dim)(x)
+        return x
+
+
+class PCmerLayer(nn.Module):
+    """One conformer-performer encoder layer (pcmer.py:20-38)."""
+
+    dim: int
+    heads: int
+    causal: bool = False
+    proj_seed: int = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x + SelfAttention(
+            dim=self.dim,
+            heads=self.heads,
+            causal=self.causal,
+            proj_seed=self.proj_seed,
+            name="attn",
+        )(nn.LayerNorm(epsilon=1e-5, name="norm")(x))
+        x = x + ConformerConvModule(
+            dim=self.dim, causal=self.causal, name="conv"
+        )(x)
+        return x
+
+
+class PCmer(nn.Module):
+    """Stack of PCmer layers (pcmer.py:11-17)."""
+
+    num_layers: int
+    num_heads: int
+    dim_model: int
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.num_layers):
+            x = PCmerLayer(
+                dim=self.dim_model,
+                heads=self.num_heads,
+                causal=self.causal,
+                proj_seed=i,
+                name=f"layer_{i}",
+            )(x)
+        return x

@@ -22,10 +22,18 @@ import jax.numpy as jnp
 from .interp import upsample_frames
 
 
-def combtooth(rot: jnp.ndarray, f0: jnp.ndarray, sr: float) -> jnp.ndarray:
-    """:: (B, T), (B, T) -> (B, T) sinc-comb excitation."""
+def combtooth(
+    rot: jnp.ndarray, f0: jnp.ndarray, sr: float, zero_unvoiced: bool = True
+) -> jnp.ndarray:
+    """:: (B, T), (B, T) -> (B, T) sinc-comb excitation.
+
+    zero_unvoiced: CombSubFast zeroes f0<=0 regions (vocoder.py:460); the old
+    CombSub does not (vocoder.py:539).
+    """
     tooth = jnp.sinc(sr * rot / (f0 + 1e-3))
-    return jnp.where(f0 <= 0.0, 0.0, tooth)
+    if zero_unvoiced:
+        tooth = jnp.where(f0 <= 0.0, 0.0, tooth)
+    return tooth
 
 
 def remove_above_fmax(

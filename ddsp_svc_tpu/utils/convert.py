@@ -1,0 +1,112 @@
+"""PyTorch -> JAX weight converters.
+
+Converts reference-format checkpoints (tarepan/DDSP-SVC-official state
+dicts) into this framework's flax variable trees, so users can migrate
+trained models and so parity tests can compare full forwards numerically.
+
+All functions take plain `{name: numpy array}` dicts (call `.numpy()` on
+torch tensors first, or pass a torch state_dict — tensors are converted
+lazily), so torch is not a hard dependency of the framework.
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _dense(sd: Mapping, prefix: str) -> Dict:
+    out = {"kernel": _np(sd[prefix + ".weight"]).T}
+    if prefix + ".bias" in sd:
+        out["bias"] = _np(sd[prefix + ".bias"])
+    return out
+
+
+def _conv1d(sd: Mapping, prefix: str) -> Dict:
+    # torch (out, in/groups, k) -> flax (k, in/groups, out)
+    out = {"kernel": _np(sd[prefix + ".weight"]).transpose(2, 1, 0)}
+    if prefix + ".bias" in sd:
+        out["bias"] = _np(sd[prefix + ".bias"])
+    return out
+
+
+def _norm(sd: Mapping, prefix: str) -> Dict:
+    return {"scale": _np(sd[prefix + ".weight"]), "bias": _np(sd[prefix + ".bias"])}
+
+
+def _pointwise_conv_as_dense(sd: Mapping, prefix: str) -> Dict:
+    # torch conv1d k=1 (out, in, 1) -> dense kernel (in, out)
+    out = {"kernel": _np(sd[prefix + ".weight"])[:, :, 0].T}
+    if prefix + ".bias" in sd:
+        out["bias"] = _np(sd[prefix + ".bias"])
+    return out
+
+
+def _weight_norm_dense(sd: Mapping, prefix: str) -> Dict:
+    g = _np(sd[prefix + ".weight_g"]).reshape(-1)
+    v = _np(sd[prefix + ".weight_v"]).T  # (in, out)
+    return {"g": g, "v": v, "bias": _np(sd[prefix + ".bias"])}
+
+
+def convert_unit2control(
+    sd: Mapping, prefix: str = "unit2ctrl.", num_layers: int = 3
+):
+    """Reference Unit2Control state dict -> (params, constants) subtrees.
+
+    Torch module paths per /root/reference/ddsp/unit2control.py:38-62 and
+    ddsp/pcmer.py layer structure.
+    """
+    p = prefix
+    params: Dict = {
+        "prenet_conv0": {"Conv_0": _conv1d(sd, p + "unit_prenet.1")},
+        "prenet_gn": _norm(sd, p + "unit_prenet.2"),
+        "prenet_conv1": {"Conv_0": _conv1d(sd, p + "unit_prenet.4")},
+        "f0_embed": _dense(sd, p + "f0_embed"),
+        "phase_embed": _dense(sd, p + "phase_embed"),
+        "volume_embed": _dense(sd, p + "volume_embed"),
+        "spk_embed": {"embedding": _np(sd[p + "spk_embed.weight"])},
+        "norm": _norm(sd, p + "dec_post.1"),
+        "dense_out": _weight_norm_dense(sd, p + "dec_post.2"),
+    }
+    constants: Dict = {}
+    decoder: Dict = {}
+    for i in range(num_layers):
+        lp = f"{p}dec_post.0.net.{i}."
+        decoder[f"layer_{i}"] = {
+            "norm": _norm(sd, lp + "norm"),
+            "attn": {
+                "to_q": _dense(sd, lp + "attn.to_q"),
+                "to_k": _dense(sd, lp + "attn.to_k"),
+                "to_v": _dense(sd, lp + "attn.to_v"),
+                "to_out": _dense(sd, lp + "attn.to_out"),
+            },
+            "conv": {
+                "LayerNorm_0": _norm(sd, lp + "local_mixer.net.0"),
+                "Dense_0": _pointwise_conv_as_dense(sd, lp + "local_mixer.net.2"),
+                "Conv1d_0": {"Conv_0": _conv1d(sd, lp + "local_mixer.net.4")},
+                "Dense_1": _pointwise_conv_as_dense(sd, lp + "local_mixer.net.6"),
+            },
+        }
+        constants[f"layer_{i}"] = {
+            "attn": {
+                "projection": _np(sd[lp + "attn.fast_attention.projection_matrix"])
+            }
+        }
+    params["decoder"] = decoder
+    return params, {"decoder": constants}
+
+
+def convert_synth_state_dict(sd: Mapping, num_layers: int = 3) -> Dict:
+    """Full reference synthesizer (Sins/CombSub/CombSubFast) state dict ->
+    flax variables {'params': ..., 'constants': ...}."""
+    params, constants = convert_unit2control(sd, "unit2ctrl.", num_layers)
+    return {
+        "params": {"unit2ctrl": params},
+        "constants": {"unit2ctrl": constants},
+    }
