@@ -1,0 +1,9 @@
+from .wavio import read_wav, write_wav, load_audio, get_duration
+from .slicer import Slicer, split_segments, frame_rms
+from .dataset import AudioDataset, BatchIterator, get_data_loaders, traverse_dir
+
+__all__ = [
+    "read_wav", "write_wav", "load_audio", "get_duration",
+    "Slicer", "split_segments", "frame_rms",
+    "AudioDataset", "BatchIterator", "get_data_loaders", "traverse_dir",
+]

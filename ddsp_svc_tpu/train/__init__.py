@@ -1,0 +1,22 @@
+from .checkpoint import (
+    save_checkpoint,
+    restore_checkpoint,
+    restore_variables,
+    latest_checkpoint,
+)
+from .step import (
+    TrainState,
+    create_optimizer,
+    create_train_state,
+    make_train_step,
+    make_eval_step,
+)
+from .saver import Saver
+from . import solver
+
+__all__ = [
+    "save_checkpoint", "restore_checkpoint", "restore_variables", "latest_checkpoint",
+    "TrainState", "create_optimizer", "create_train_state",
+    "make_train_step", "make_eval_step",
+    "Saver", "solver",
+]

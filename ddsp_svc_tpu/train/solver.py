@@ -1,0 +1,147 @@
+"""Training/validation loops.
+
+Capability parity with /root/reference/solver.py: epoch x batch loop over the
+jitted train step, interval-based logging (`interval_log`) and validation +
+checkpointing (`interval_val`), best-loss tracking, and a validation pass
+that reports reconstruction loss, wall-clock RTF, *and* cross-speaker VC
+audio using per-speaker mean-log-f0 transposition (solver.py:45-55):
+    f0_vc = exp(tgt_lfo * log(f0) / src_lfo),  tgt = (src + 1) % n_spk (1-based)
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .saver import Saver
+from .step import TrainState, make_train_step, make_eval_step
+
+
+def test(args, model, state: TrainState, rss, dataset_valid, saver: Saver):
+    """Validation: reconstruction + VC forward per utterance; returns mean loss."""
+    eval_step = make_eval_step(model, rss.mss)
+    lfo_path = os.path.join(args.data.train_path, "f0_stats.npy")
+    lfo_stats = (
+        np.load(lfo_path, allow_pickle=True).item()
+        if os.path.isfile(lfo_path)
+        else None
+    )
+
+    test_loss = 0.0
+    rtf_all = []
+    num = len(dataset_valid)
+    import random as _random
+
+    rng_item = _random.Random(0)
+    for bidx in range(num):
+        data = dataset_valid.get_item(bidx, rng_item)
+        name = data["name"]
+        batch = {
+            "audio": data["audio"][None],
+            "f0": data["f0"][None],
+            "volume": data["volume"][None],
+            "units": data["units"][None],
+            "spk_id": data["spk_id"][None],
+        }
+        # reconstruction + RTF
+        st = time.time()
+        signal, loss = eval_step(
+            state.params, state.constants, batch, jax.random.key(42)
+        )
+        signal = jax.block_until_ready(signal)
+        run_time = time.time() - st
+        song_time = batch["audio"].shape[-1] / args.data.sampling_rate
+        rtf = run_time / song_time
+        saver.log_info(f"{bidx}/{num} - {name} RTF: {rtf:.4f} | {run_time:.3f} / {song_time:.3f}")
+        rtf_all.append(rtf)
+        test_loss += float(loss)
+
+        audio_logs = {
+            f"{name}/gt.wav": batch["audio"][0],
+            f"{name}/pred.wav": np.asarray(signal)[0],
+        }
+
+        # VC forward with speaker mean-log-f0 transposition
+        if lfo_stats is not None and args.model.n_spk and args.model.n_spk > 1:
+            src_spk = int(data["spk_id"][0])
+            tgt_spk = (src_spk + 1) % args.model.n_spk
+            tgt_spk = 1 if tgt_spk == 0 else tgt_spk
+            if str(src_spk) in lfo_stats and str(tgt_spk) in lfo_stats:
+                src_lfo = float(lfo_stats[str(src_spk)])
+                tgt_lfo = float(lfo_stats[str(tgt_spk)])
+                f0_vc = np.exp(
+                    tgt_lfo * np.log(np.maximum(batch["f0"], 1e-8)) / src_lfo
+                ).astype(np.float32)
+                vc_batch = dict(batch, f0=f0_vc, spk_id=np.asarray([[tgt_spk]], dtype=np.int64))
+                vc_sig, _ = eval_step(
+                    state.params, state.constants, vc_batch, jax.random.key(43)
+                )
+                audio_logs[f"{name}/vc_{src_spk}_to_{tgt_spk}.wav"] = np.asarray(vc_sig)[0]
+
+        saver.log_audio(audio_logs)
+
+    test_loss /= max(num, 1)
+    saver.log_info(f" [test_loss] test_loss: {test_loss}")
+    saver.log_info(f" Real Time Factor: {np.mean(rtf_all) if rtf_all else float('nan')}")
+    return test_loss
+
+
+def train(
+    args,
+    initial_global_step: int,
+    model,
+    state: TrainState,
+    optimizer,
+    rss,
+    loader_train,
+    dataset_valid,
+    max_steps: Optional[int] = None,
+):
+    """Main loop (solver.py:85-143 parity). Returns final TrainState."""
+    saver = Saver(args, initial_global_step=initial_global_step)
+    train_step = make_train_step(model, rss, optimizer)
+    rng = jax.random.key(int(args.train.seed or 0) if args.train else 0)
+
+    best_loss = np.inf
+    num_batches = len(loader_train)
+    saver.log_info("======= start training =======")
+    for epoch in range(args.train.epochs):
+        for batch_idx, data in enumerate(loader_train.epoch(epoch)):
+            saver.global_step_increment()
+            batch = {k: data[k] for k in ("audio", "f0", "volume", "units", "spk_id")}
+            state, loss = train_step(state, batch, rng)
+
+            if saver.global_step % args.train.interval_log == 0:
+                loss_val = float(loss)
+                saver.log_info(
+                    "epoch: {} | {:3d}/{:3d} | {} | batch/s: {:.2f} | loss: {:.3f} | time: {} | step: {}".format(
+                        epoch,
+                        batch_idx,
+                        num_batches,
+                        args.env.expdir,
+                        args.train.interval_log / max(saver.get_interval_time(), 1e-9),
+                        loss_val,
+                        saver.get_total_time(),
+                        saver.global_step,
+                    )
+                )
+                saver.log_value({"train/loss": loss_val})
+
+            if saver.global_step % args.train.interval_val == 0:
+                test_loss = test(args, model, state, rss, dataset_valid, saver)
+                saver.log_info(f" --- <validation> --- \nloss: {test_loss:.3f}. ")
+                saver.log_value({"validation/loss": test_loss})
+                variables = {"params": state.params, "constants": state.constants}
+                saver.save_model(variables, state.opt_state, postfix=f"{saver.global_step}")
+                if test_loss < best_loss:
+                    saver.log_info(" [V] best model updated.")
+                    saver.save_model(variables, state.opt_state, postfix="best")
+                    best_loss = test_loss
+
+            if max_steps is not None and saver.global_step >= initial_global_step + max_steps:
+                return state, saver
+    return state, saver

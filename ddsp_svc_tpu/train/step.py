@@ -1,0 +1,104 @@
+"""Jitted training/eval steps.
+
+The reference's hot loop (solver.py:101-114: forward, RSS loss, backward,
+AdamW step) becomes a single donated, jit-compiled function — one XLA
+program per step, no host round-trips. Optimizer is optax AdamW with the
+reference's effective hyperparameters (train.py:41-45: lr and weight decay
+forced from config on resume — automatic here since optax bakes them into
+the update fn, not the state).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    constants: Any
+    opt_state: Any
+
+
+def create_optimizer(lr: float, weight_decay: float = 0.0) -> optax.GradientTransformation:
+    return optax.adamw(
+        learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay
+    )
+
+
+def create_train_state(
+    model, optimizer: optax.GradientTransformation, example_batch: Dict, rng
+) -> TrainState:
+    variables = model.init(
+        {"params": rng, "noise": jax.random.fold_in(rng, 1)},
+        example_batch["units"],
+        example_batch["f0"],
+        example_batch["volume"],
+        example_batch["spk_id"],
+        infer=False,
+    )
+    params = variables["params"]
+    return TrainState(
+        step=jnp.asarray(0, dtype=jnp.int32),
+        params=params,
+        constants=variables.get("constants", {}),
+        opt_state=optimizer.init(params),
+    )
+
+
+def make_train_step(
+    model, loss_fn: Callable, optimizer: optax.GradientTransformation
+) -> Callable:
+    """Returns jitted (state, batch, rng) -> (state, loss)."""
+
+    def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, jnp.ndarray]:
+        step_rng = jax.random.fold_in(rng, state.step)
+        rng_noise, rng_loss = jax.random.split(step_rng)
+
+        def loss_of(params):
+            signal, _, _ = model.apply(
+                {"params": params, "constants": state.constants},
+                batch["units"],
+                batch["f0"],
+                batch["volume"],
+                batch["spk_id"],
+                infer=False,
+                rngs={"noise": rng_noise},
+            )
+            return loss_fn(signal, batch["audio"], rng_loss)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state
+        )
+        return new_state, loss
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, mss_fn: Callable) -> Callable:
+    """Returns jitted (variables, batch, rng) -> (signal, loss) for
+    validation (deterministic multi-scale loss)."""
+
+    @partial(jax.jit, static_argnames=())
+    def eval_step(params, constants, batch, rng):
+        signal, _, _ = model.apply(
+            {"params": params, "constants": constants},
+            batch["units"],
+            batch["f0"],
+            batch["volume"],
+            batch["spk_id"],
+            infer=True,
+            rngs={"noise": rng},
+        )
+        loss = mss_fn(signal, batch["audio"])
+        return signal, loss
+
+    return eval_step

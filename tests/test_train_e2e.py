@@ -1,0 +1,166 @@
+"""End-to-end training smoke test on a tiny synthetic dataset: feature
+store layout, jitted steps, loss decrease, checkpoint save/resume parity."""
+import os
+import random
+
+import numpy as np
+import jax
+import pytest
+
+from ddsp_svc_tpu.utils.config import DotDict
+from ddsp_svc_tpu.data.wavio import write_wav
+from ddsp_svc_tpu.data.dataset import get_data_loaders
+from ddsp_svc_tpu.models import build_model, RSSLoss
+from ddsp_svc_tpu.train import (
+    create_optimizer,
+    create_train_state,
+    make_train_step,
+    save_checkpoint,
+    restore_checkpoint,
+    latest_checkpoint,
+)
+
+SR = 16000
+HOP = 256
+N_UNIT = 64
+
+
+def _make_dataset(root, n_files=3, duration_sec=3.0, n_spk=2):
+    rng = np.random.default_rng(0)
+    for i in range(n_files):
+        spk = 1 + (i % n_spk)
+        t = int(duration_sec * SR)
+        n_frames = t // HOP + 1
+        tt = np.arange(t) / SR
+        f0_hz = 150.0 + 50.0 * (i + 1)
+        audio = (0.3 * np.sin(2 * np.pi * f0_hz * tt)).astype(np.float32)
+        for sub in ("audio", "units", "f0", "volume"):
+            os.makedirs(os.path.join(root, sub, str(spk)), exist_ok=True)
+        write_wav(os.path.join(root, "audio", str(spk), f"u{i}.wav"), audio, SR)
+        np.save(
+            os.path.join(root, "units", str(spk), f"u{i}.0.npy"),
+            rng.standard_normal((n_frames, N_UNIT)).astype(np.float32),
+        )
+        np.save(
+            os.path.join(root, "f0", str(spk), f"u{i}.npy"),
+            np.full((n_frames,), f0_hz, dtype=np.float32),
+        )
+        np.save(
+            os.path.join(root, "volume", str(spk), f"u{i}.npy"),
+            np.full((n_frames,), 0.2, dtype=np.float32),
+        )
+    stats = {str(s): float(np.log(200.0 + 50 * s)) for s in range(1, n_spk + 1)}
+    np.save(os.path.join(root, "f0_stats.npy"), stats, allow_pickle=True)
+
+
+def _args(tmp_path):
+    return DotDict(
+        {
+            "data": {
+                "train_path": str(tmp_path / "train"),
+                "valid_path": str(tmp_path / "val"),
+                "duration": 1.0,
+                "block_size": HOP,
+                "sampling_rate": SR,
+                "encoder_out_channels": N_UNIT,
+                "n_aunit": 0,
+            },
+            "model": {"type": "CombSubFast", "n_spk": 2, "c": False},
+            "loss": {"fft_min": 128, "fft_max": 512, "n_scale": 2},
+            "env": {"expdir": str(tmp_path / "exp")},
+            "train": {
+                "batch_size": 2,
+                "cache_all_data": True,
+                "cache_fp16": False,
+                "epochs": 1,
+                "interval_log": 1,
+                "interval_val": 1000,
+                "lr": 1e-3,
+                "weight_decay": 0.0,
+                "seed": 0,
+            },
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    _make_dataset(str(root / "train"))
+    _make_dataset(str(root / "val"), n_files=1)
+    return root
+
+
+def test_dataset_shapes(tiny_data):
+    args = _args(tiny_data)
+    loader, valid = get_data_loaders(args)
+    batch = next(iter(loader.epoch(0)))
+    n_frames = int(1.0 * SR / HOP)
+    assert batch["audio"].shape == (2, n_frames * HOP)
+    assert batch["units"].shape == (2, n_frames, N_UNIT)
+    assert batch["f0"].shape == (2, n_frames, 1)
+    assert batch["volume"].shape == (2, n_frames)
+    assert batch["spk_id"].shape == (2, 1)
+    item = valid.get_item(0, random.Random(0))
+    assert item["audio"].shape[0] > 0
+
+
+def test_train_loss_decreases(tiny_data):
+    args = _args(tiny_data)
+    loader, _ = get_data_loaders(args)
+    model = build_model(args)
+    optimizer = create_optimizer(1e-3)
+    batch = {
+        k: v
+        for k, v in next(iter(loader.epoch(0))).items()
+        if k != "name"
+    }
+    state = create_train_state(model, optimizer, batch, jax.random.key(0))
+    rss = RSSLoss(128, 512, n_scale=2, n_buckets=4)
+    step = make_train_step(model, rss, optimizer)
+    rng = jax.random.key(0)
+    losses = []
+    for i in range(12):
+        state, loss = step(state, batch, rng)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
+
+
+def test_checkpoint_roundtrip(tiny_data, tmp_path):
+    args = _args(tiny_data)
+    loader, _ = get_data_loaders(args)
+    model = build_model(args)
+    optimizer = create_optimizer(1e-3)
+    batch = {k: v for k, v in next(iter(loader.epoch(0))).items() if k != "name"}
+    state = create_train_state(model, optimizer, batch, jax.random.key(0))
+    rss = RSSLoss(128, 512, n_scale=2, n_buckets=4)
+    step = make_train_step(model, rss, optimizer)
+    state, _ = step(state, batch, jax.random.key(0))
+
+    ckpt_path = str(tmp_path / "model_1.ckpt")
+    save_checkpoint(
+        ckpt_path, 1,
+        {"params": state.params, "constants": state.constants},
+        state.opt_state,
+    )
+    assert latest_checkpoint(str(tmp_path)) == ckpt_path
+
+    state2 = create_train_state(model, optimizer, batch, jax.random.key(9))
+    step_r, variables, opt_state = restore_checkpoint(
+        ckpt_path, params_template=state2.params, opt_state_template=state2.opt_state
+    )
+    assert step_r == 1
+    # params restored exactly
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(variables["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # next step from restored state matches continued training bitwise
+    import jax.numpy as jnp
+    from ddsp_svc_tpu.train.step import TrainState
+    state_rest = TrainState(
+        step=jnp.asarray(step_r, jnp.int32), params=variables["params"],
+        constants=variables["constants"], opt_state=opt_state,
+    )
+    state_cont, loss_a = step(state, batch, jax.random.key(1))
+    state_rest, loss_b = step(state_rest, batch, jax.random.key(1))
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
