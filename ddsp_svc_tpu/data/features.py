@@ -1,0 +1,241 @@
+"""Feature extraction: F0, volume, and acoustic units.
+
+Capability parity with /root/reference/ddsp/vocoder.py:20-211:
+  - F0Extractor supports the reference's extractor names. 'parselmouth',
+    'dio', 'harvest' map to a JAX-native Boersma-style autocorrelation pitch
+    tracker (the reference used C++ Praat/WORLD for these; same frame
+    contract: n_frames = len//hop + 1, silence_front skipping, uv_interp
+    unvoiced filling clamped to f0_min — vocoder.py:45-113). 'crepe' runs the
+    JAX CREPE port (nn/crepe.py) with median/masked-average smoothing and the
+    5 ms -> hop nearest resample (vocoder.py:89-102).
+  - VolumeExtractor: frame RMS (vocoder.py:116-137).
+  - UnitsEncoder: resample to encoder rate (cached kernels) -> HuBERT-soft ->
+    nearest-neighbor frame alignment to the synth hop (vocoder.py:176-211).
+
+All device compute is jitted with shape bucketing (audio padded to the next
+power-of-two frame count) so repeated calls hit the compile cache.
+"""
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import (
+    resample,
+    nearest_align,
+    masked_avg_pool_1d,
+    median_pool_1d,
+    next_pow2,
+    extract_volume_np,
+)
+from ..ops.windows import hann_window_symmetric
+
+
+# ----------------------------- autocorrelation F0 ---------------------------
+
+
+@partial(jax.jit, static_argnames=("sr", "hop", "f0_min", "f0_max", "win"))
+def _autocorr_f0(audio, sr: int, hop: int, f0_min: float, f0_max: float, win: int):
+    """Boersma-style AC pitch per frame. audio :: (T,) -> (T//hop+1,) [Hz]."""
+    n_frames = audio.shape[0] // hop + 1
+    half = win // 2
+    x = jnp.pad(audio, (half, half + win))
+    idx = (
+        jnp.arange(n_frames)[:, None] * hop + jnp.arange(win)[None, :]
+    )
+    frames = x[idx]  # (N, W)
+    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    w = hann_window_symmetric(win, dtype=audio.dtype)
+    fx = frames * w
+
+    fft_size = next_pow2(2 * win)
+    spec = jnp.fft.rfft(fx, fft_size)
+    r = jnp.fft.irfft(spec * jnp.conj(spec), fft_size)[..., :win]
+    rw = jnp.fft.irfft(
+        jnp.abs(jnp.fft.rfft(w, fft_size)) ** 2, fft_size
+    )[:win]
+    # normalized AC with window-autocorrelation compensation
+    rn = (r / (r[..., :1] + 1e-12)) * (rw[0] / (rw + 1e-12))
+
+    lag_min = max(2, int(math.floor(sr / f0_max)))
+    lag_max = min(win - 2, int(math.ceil(sr / f0_min)))
+    lags = jnp.arange(win)
+    valid = (lags >= lag_min) & (lags <= lag_max)
+    # octave cost (Praat-style): prefer shorter lags when peaks tie, so the
+    # fundamental wins over its subharmonics
+    octave_penalty = 0.01 * jnp.log2(jnp.maximum(lags, 1).astype(audio.dtype))
+    rn_masked = jnp.where(valid[None, :], rn - octave_penalty[None, :], -jnp.inf)
+    peak = jnp.argmax(rn_masked, axis=-1)  # (N,)
+
+    # parabolic interpolation around the peak
+    p0 = jnp.take_along_axis(rn, (peak - 1)[:, None], axis=-1)[:, 0]
+    p1 = jnp.take_along_axis(rn, peak[:, None], axis=-1)[:, 0]
+    p2 = jnp.take_along_axis(rn, (peak + 1)[:, None], axis=-1)[:, 0]
+    denom = p0 - 2 * p1 + p2
+    delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (p0 - p2) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    lag = peak.astype(audio.dtype) + delta
+    f0 = sr / jnp.maximum(lag, 1.0)
+
+    energy = r[..., 0] / win
+    voiced = (p1 > 0.6) & (energy > 1e-8) & (f0 >= f0_min) & (f0 <= f0_max)
+    return jnp.where(voiced, f0, 0.0)
+
+
+class F0Extractor:
+    def __init__(
+        self,
+        f0_extractor: str,
+        sample_rate: int = 44100,
+        hop_size: int = 512,
+        f0_min: float = 65,
+        f0_max: float = 800,
+    ):
+        if f0_extractor not in ("parselmouth", "dio", "harvest", "crepe"):
+            raise ValueError(f" [x] Unknown f0 extractor: {f0_extractor}")
+        self.f0_extractor = f0_extractor
+        self.sample_rate = sample_rate
+        self.hop_size = hop_size
+        self.f0_min = f0_min
+        self.f0_max = f0_max
+        # analysis window: ~3 periods of f0_min (Praat AC convention)
+        self.win = next_pow2(int(3 * sample_rate / f0_min))
+        self._crepe = None
+
+    def extract(
+        self,
+        audio: np.ndarray,
+        uv_interp: bool = False,
+        device=None,
+        silence_front: float = 0,
+    ) -> np.ndarray:
+        """:: (T,) -> (T//hop + 1,) f0 [Hz]; 0 = unvoiced."""
+        audio = np.asarray(audio, dtype=np.float32)
+        n_frames = int(len(audio) // self.hop_size) + 1
+        start_frame = int(silence_front * self.sample_rate / self.hop_size)
+        real_silence_front = start_frame * self.hop_size / self.sample_rate
+        audio_trim = audio[int(np.round(real_silence_front * self.sample_rate)):]
+
+        if self.f0_extractor == "crepe":
+            f0 = self._extract_crepe(audio_trim, n_frames - start_frame)
+        else:
+            # bucket audio length so jit caches by power-of-two frame count
+            n_sub = len(audio_trim) // self.hop_size + 1
+            bucket_frames = next_pow2(n_sub)
+            pad = (bucket_frames - 1) * self.hop_size - len(audio_trim)
+            audio_pad = np.pad(audio_trim, (0, max(pad, 0)))
+            f0 = np.asarray(
+                _autocorr_f0(
+                    jnp.asarray(audio_pad),
+                    self.sample_rate,
+                    self.hop_size,
+                    float(self.f0_min),
+                    float(self.f0_max),
+                    self.win,
+                )
+            )[:n_sub]
+
+        f0 = np.pad(f0.astype(np.float32), (start_frame, 0))
+        if len(f0) < n_frames:
+            f0 = np.pad(f0, (0, n_frames - len(f0)))
+        f0 = f0[:n_frames]
+
+        if uv_interp:
+            uv = f0 == 0
+            if (~uv).any():
+                f0[uv] = np.interp(np.where(uv)[0], np.where(~uv)[0], f0[~uv])
+            f0[f0 < self.f0_min] = self.f0_min
+        return f0
+
+    def _extract_crepe(self, audio: np.ndarray, n_frames: int) -> np.ndarray:
+        from ..nn.crepe import CrepeExtractor
+
+        if self._crepe is None:
+            self._crepe = CrepeExtractor(self.f0_min, self.f0_max)
+        wav16k = np.asarray(
+            resample(jnp.asarray(audio)[None], self.sample_rate, 16000)[0]
+        )
+        f0_5ms, pd = self._crepe.predict(wav16k)
+        pd = np.asarray(median_pool_1d(jnp.asarray(pd)[None], 4))[0]
+        f0_5ms = np.where(pd < 0.05, np.nan, f0_5ms)
+        f0_5ms = np.asarray(masked_avg_pool_1d(jnp.asarray(f0_5ms)[None], 4))[0]
+        f0_5ms = np.nan_to_num(f0_5ms)
+        # nearest resample from 5 ms grid to hop grid (vocoder.py:101)
+        idx = np.minimum(
+            np.round(np.arange(n_frames) * self.hop_size / self.sample_rate / 0.005).astype(int),
+            len(f0_5ms) - 1,
+        )
+        return f0_5ms[idx]
+
+
+class VolumeExtractor:
+    def __init__(self, hop_size: int = 512):
+        self.hop_size = hop_size
+
+    def extract(self, audio: np.ndarray) -> np.ndarray:
+        return extract_volume_np(np.asarray(audio, dtype=np.float32), self.hop_size)
+
+
+class UnitsEncoder:
+    """Audio -> soft units, aligned to the synthesizer frame grid."""
+
+    def __init__(
+        self,
+        encoder: str,
+        encoder_ckpt: Optional[str],
+        encoder_sample_rate: int = 16000,
+        encoder_hop_size: int = 320,
+    ):
+        from ..nn.hubert import HubertSoft
+
+        if encoder not in (
+            "hubertsoft", "hubertbase", "hubertbase768", "contentvec", "contentvec768",
+        ):
+            raise ValueError(f" [x] Unknown units encoder: {encoder}")
+        self.encoder = encoder
+        self.encoder_sample_rate = encoder_sample_rate
+        self.encoder_hop_size = encoder_hop_size
+        self.model = HubertSoft()
+        if encoder_ckpt:
+            self.variables = self._load_ckpt(encoder_ckpt)
+        else:  # random init (tests / benchmarking without pretrained assets)
+            self.variables = self.model.init(
+                jax.random.key(0), jnp.zeros((1, 1600))
+            )
+        self._apply = jax.jit(self.model.apply)
+
+    def _load_ckpt(self, path: str):
+        from ..utils.convert import convert_hubert_state_dict
+
+        if path.endswith((".ckpt", ".msgpack")):
+            from flax import serialization
+
+            with open(path, "rb") as f:
+                return serialization.msgpack_restore(f.read())
+        # torch checkpoint
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        sd = {k.removeprefix("module."): v for k, v in sd.items()}
+        return jax.tree.map(jnp.asarray, convert_hubert_state_dict(sd))
+
+    def encode(self, audio: np.ndarray, sample_rate: int, hop_size: int) -> np.ndarray:
+        """:: (B, T) at sample_rate -> (B, T//hop+1, 256)."""
+        audio = jnp.asarray(audio, dtype=jnp.float32)
+        if sample_rate != self.encoder_sample_rate:
+            audio_res = resample(audio, sample_rate, self.encoder_sample_rate)
+        else:
+            audio_res = audio
+        units = self._apply(self.variables, audio_res)
+        n_frames = audio.shape[-1] // hop_size + 1
+        ratio = (hop_size / sample_rate) / (
+            self.encoder_hop_size / self.encoder_sample_rate
+        )
+        return np.asarray(nearest_align(units, n_frames, ratio))

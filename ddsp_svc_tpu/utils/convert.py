@@ -110,3 +110,72 @@ def convert_synth_state_dict(sd: Mapping, num_layers: int = 3) -> Dict:
         "params": {"unit2ctrl": params},
         "constants": {"unit2ctrl": constants},
     }
+
+
+def convert_hubert_state_dict(sd: Mapping, num_layers: int = 12) -> Dict:
+    """bshall HuBERT-soft torch checkpoint -> flax params for nn.hubert.
+
+    Weight-norm on the positional conv (dim=2: per-kernel-position g) is
+    folded into a plain kernel here.
+    """
+    params: Dict = {"feature_extractor": {}, "feature_projection": {}}
+    fe = params["feature_extractor"]
+    fe["conv0"] = _conv1d(sd, "feature_extractor.conv0")
+    fe["norm0_scale"] = _np(sd["feature_extractor.norm0.weight"])
+    fe["norm0_bias"] = _np(sd["feature_extractor.norm0.bias"])
+    for i in range(1, 7):
+        fe[f"conv{i}"] = _conv1d(sd, f"feature_extractor.conv{i}")
+
+    params["feature_projection"] = {
+        "norm": _norm(sd, "feature_projection.norm"),
+        "projection": _dense(sd, "feature_projection.projection"),
+    }
+
+    # positional conv: weight_norm(dim=2) -> fold g*(v/||v||) per k-position
+    g = _np(sd["positional_embedding.conv.weight_g"])  # (1, 1, 128)
+    v = _np(sd["positional_embedding.conv.weight_v"])  # (768, 48, 128)
+    norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+    w = v * (g / (norm + 1e-12))
+    params["positional_embedding"] = {
+        "conv": {
+            "kernel": w.transpose(2, 1, 0),  # (k, in/groups, out)
+            "bias": _np(sd["positional_embedding.conv.bias"]),
+        }
+    }
+    params["norm"] = _norm(sd, "norm")
+    for i in range(num_layers):
+        lp = f"encoder.layers.{i}."
+        params[f"layer_{i}"] = {
+            "in_proj": {
+                "kernel": _np(sd[lp + "self_attn.in_proj_weight"]).T,
+                "bias": _np(sd[lp + "self_attn.in_proj_bias"]),
+            },
+            "out_proj": _dense(sd, lp + "self_attn.out_proj"),
+            "linear1": _dense(sd, lp + "linear1"),
+            "linear2": _dense(sd, lp + "linear2"),
+            "norm1": _norm(sd, lp + "norm1"),
+            "norm2": _norm(sd, lp + "norm2"),
+        }
+    params["proj"] = _dense(sd, "proj")
+    return {"params": params}
+
+
+def convert_crepe_state_dict(sd: Mapping) -> Dict:
+    """torchcrepe checkpoint -> flax params for nn.crepe.CrepeFull, with
+    BatchNorm folded into per-channel (scale, bias)."""
+    params: Dict = {}
+    for i in range(1, 7):
+        w = _np(sd[f"conv{i}.weight"])  # (out, in, k, 1)
+        params[f"conv{i}"] = {
+            "kernel": w[..., 0].transpose(2, 1, 0),
+            "bias": _np(sd[f"conv{i}.bias"]),
+        }
+        gamma = _np(sd[f"conv{i}_BN.weight"])
+        beta = _np(sd[f"conv{i}_BN.bias"])
+        mean = _np(sd[f"conv{i}_BN.running_mean"])
+        var = _np(sd[f"conv{i}_BN.running_var"])
+        scale = gamma / np.sqrt(var + 1e-5)
+        params[f"bn{i}_scale"] = scale
+        params[f"bn{i}_bias"] = beta - mean * scale
+    params["classifier"] = _dense(sd, "classifier")
+    return {"params": params}

@@ -1,0 +1,92 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ddsp_svc_tpu.models import CombSubFast, RSSLoss
+from ddsp_svc_tpu.parallel import (
+    make_mesh,
+    shard_batch,
+    shard_train_state,
+    param_shardings,
+)
+from ddsp_svc_tpu.train import create_optimizer, create_train_state, make_train_step
+
+
+def _batch(b=8, n_frames=8, block=256, n_unit=64):
+    rng = np.random.default_rng(0)
+    return {
+        "audio": rng.standard_normal((b, n_frames * block)).astype(np.float32),
+        "units": rng.standard_normal((b, n_frames, n_unit)).astype(np.float32),
+        "f0": (200 * rng.random((b, n_frames, 1))).astype(np.float32),
+        "volume": rng.random((b, n_frames)).astype(np.float32),
+        "spk_id": np.ones((b, 1), dtype=np.int64),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    model = CombSubFast(sampling_rate=16000, block_size=256, n_unit=64, n_spk=4)
+    optimizer = create_optimizer(1e-3)
+    batch = _batch()
+    state = create_train_state(model, optimizer, batch, jax.random.key(0))
+    rss = RSSLoss(128, 512, n_scale=2, n_buckets=4)
+    return model, optimizer, batch, state, rss
+
+
+def test_dp_step_matches_single_device(setup):
+    """A data-parallel step over an 8-device mesh must match 1-device math."""
+    model, optimizer, batch, state0, rss = setup
+    step = make_train_step(model, rss, optimizer)
+
+    state_single = jax.tree.map(jnp.array, state0)
+    state_single, loss_single = step(state_single, batch, jax.random.key(0))
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    state_dp = shard_train_state(jax.tree.map(jnp.array, state0), mesh)
+    batch_dp = shard_batch(batch, mesh)
+    state_dp, loss_dp = step(state_dp, batch_dp, jax.random.key(0))
+
+    np.testing.assert_allclose(float(loss_single), float(loss_dp), rtol=2e-4)
+    # Adam's first step amplifies reduction-order float noise to ~2*lr on
+    # near-zero-gradient entries, so compare bulk tightly and tails loosely.
+    a = jax.tree.leaves(state_single.params)
+    b = jax.tree.leaves(state_dp.params)
+    for x, y in zip(a, b):
+        diff = np.abs(np.asarray(x) - np.asarray(y))
+        assert np.quantile(diff, 0.99) < 1e-4, diff.max()
+        assert diff.max() < 4e-3, diff.max()
+
+
+def test_tp_step_matches_single_device(setup):
+    """2-way data x 4-way tensor parallel step matches 1-device math."""
+    model, optimizer, batch, state0, rss = setup
+    step = make_train_step(model, rss, optimizer)
+
+    state_single = jax.tree.map(jnp.array, state0)
+    state_single, loss_single = step(state_single, batch, jax.random.key(0))
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    state_tp = shard_train_state(jax.tree.map(jnp.array, state0), mesh)
+    batch_tp = shard_batch(batch, mesh)
+    state_tp, loss_tp = step(state_tp, batch_tp, jax.random.key(0))
+
+    np.testing.assert_allclose(float(loss_single), float(loss_tp), rtol=2e-4)
+
+
+def test_tp_rules_applied(setup):
+    model, optimizer, batch, state0, rss = setup
+    mesh = make_mesh(n_data=2, n_model=4)
+    sh = param_shardings(state0.params, mesh)
+    flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+    specs = {
+        "/".join(str(getattr(k, "key", k)) for k in kp): s.spec for kp, s in flat
+    }
+    qk = [k for k in specs if k.endswith("attn/to_q/kernel")]
+    assert qk and all(specs[k] == jax.sharding.PartitionSpec(None, "model") for k in qk)
+    # dense_out v has 3*(block+1)=771 columns — not divisible by 4, so the
+    # divisibility guard must fall back to replication.
+    vk = [k for k in specs if k.endswith("dense_out/v")]
+    assert vk and all(specs[k] == jax.sharding.PartitionSpec() for k in vk)
