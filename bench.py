@@ -35,9 +35,9 @@ def main():
     )
 
     model = CombSubFast(sampling_rate=sr, block_size=block, n_unit=n_unit, n_spk=8)
-    variables = model.init(
-        {"params": jax.random.key(0)}, units, f0, volume, spk_id, noise=noise
-    )
+    variables = jax.jit(
+        lambda k, u, f, v, s, n: model.init({"params": k}, u, f, v, s, noise=n)
+    )(jax.random.key(0), units, f0, volume, spk_id, noise)
 
     @jax.jit
     def forward(units, f0, volume, spk_id, noise):

@@ -1,0 +1,172 @@
+"""NSF-HiFiGAN enhancer front-end.
+
+Capability parity with /root/reference/enhancer.py: adaptive-key pitch
+adaptation (`adaptive_key='auto'` derives the key from max f0 vs 760 Hz;
+adaptive sample rate rounded to 100 Hz), windowed-sinc resampling of the
+DDSP output into the enhancer's rate, f0 re-gridding onto the enhancer frame
+grid, the log-mel frontend (nvSTFT parity via ops.log_mel_spectrogram), the
+Generator forward, resampling back, and silence-front re-padding.
+
+Unlike the reference (which rebuilds its STFT object every call,
+enhancer.py:97 — a quirk SURVEY §7 says not to copy), the mel frontend and
+generator run inside one cached jit per input shape.
+"""
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..nn.nsf_hifigan import Generator
+from ..ops import resample, log_mel_spectrogram
+
+
+class NsfHifiGAN:
+    """Generator + config, loadable from a reference torch checkpoint
+    (sibling config.json, models.py:24-39) or a converted flax checkpoint."""
+
+    def __init__(self, model_path: Optional[str], h: Optional[dict] = None,
+                 variables=None):
+        if model_path is not None:
+            config_file = os.path.join(os.path.dirname(model_path), "config.json")
+            with open(config_file) as f:
+                h = json.load(f)
+        assert h is not None
+        self.h = h
+        self.model = Generator(
+            sampling_rate=h["sampling_rate"],
+            num_mels=h["num_mels"],
+            upsample_rates=tuple(h["upsample_rates"]),
+            upsample_kernel_sizes=tuple(h["upsample_kernel_sizes"]),
+            upsample_initial_channel=h["upsample_initial_channel"],
+            resblock_kernel_sizes=tuple(h["resblock_kernel_sizes"]),
+            resblock_dilation_sizes=tuple(
+                tuple(d) for d in h["resblock_dilation_sizes"]
+            ),
+        )
+        if variables is not None:
+            self.variables = variables
+        elif model_path is not None:
+            self.variables = self._load_torch(model_path)
+        else:  # random init (tests / benches without pretrained assets)
+            self.variables = jax.jit(
+                lambda k: self.model.init(
+                    k,
+                    jnp.zeros((1, 16, h["num_mels"])),
+                    jnp.zeros((1, 16)),
+                    jnp.zeros((1, 9)),
+                )
+            )(jax.random.key(0))
+        self._forward = jax.jit(self._forward_impl)
+
+    def _load_torch(self, path: str):
+        import torch
+        from ..utils.convert import convert_nsf_hifigan_state_dict
+
+        cp = torch.load(path, map_location="cpu", weights_only=True)
+        sd = cp["generator"] if "generator" in cp else cp
+        return jax.tree.map(
+            jnp.asarray, convert_nsf_hifigan_state_dict(sd, self.h)
+        )
+
+    @property
+    def sample_rate(self) -> int:
+        return int(self.h["sampling_rate"])
+
+    @property
+    def hop_size(self) -> int:
+        return int(self.h["hop_size"])
+
+    def _forward_impl(self, variables, audio, f0_frames, rand_ini):
+        mel = log_mel_spectrogram(
+            audio,
+            self.h["sampling_rate"],
+            self.h["n_fft"],
+            self.h["hop_size"],
+            self.h["win_size"],
+            self.h["num_mels"],
+            self.h["fmin"],
+            self.h["fmax"],
+        )  # (B, M, F)
+        mel = jnp.swapaxes(mel, 1, 2)
+        f0_frames = f0_frames[:, : mel.shape[1]]
+        return self.model.apply(variables, mel, f0_frames, rand_ini)
+
+    def __call__(self, audio: jnp.ndarray, f0_frames: jnp.ndarray,
+                 rng: Optional[jax.Array] = None) -> Tuple[jnp.ndarray, int]:
+        b = audio.shape[0]
+        if rng is None:
+            rand_ini = jnp.zeros((b, 9))
+        else:
+            rand_ini = jax.random.uniform(rng, (b, 9)).at[:, 0].set(0.0)
+        return self._forward(self.variables, audio, f0_frames, rand_ini), self.sample_rate
+
+
+class Enhancer:
+    def __init__(self, enhancer_type: str, enhancer_ckpt: Optional[str],
+                 h: Optional[dict] = None, variables=None):
+        if enhancer_type != "nsf-hifigan":
+            raise ValueError(f" [x] Unknown enhancer: {enhancer_type}")
+        self.enhancer = NsfHifiGAN(enhancer_ckpt, h=h, variables=variables)
+        self.enhancer_sample_rate = self.enhancer.sample_rate
+        self.enhancer_hop_size = self.enhancer.hop_size
+
+    def enhance(
+        self,
+        audio: np.ndarray,          # (1, T)
+        sample_rate: int,
+        f0: np.ndarray,             # (1, n_frames, 1)
+        hop_size: int,
+        adaptive_key=0,
+        silence_front: float = 0,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[np.ndarray, int]:
+        start_frame = int(silence_front * sample_rate / hop_size)
+        real_silence_front = start_frame * hop_size / sample_rate
+        audio = audio[:, int(np.round(real_silence_front * sample_rate)):]
+        f0 = f0[:, start_frame:, :]
+
+        if adaptive_key == "auto":
+            adaptive_key = 12.0 * np.log2(float(np.max(f0)) / 760.0)
+            adaptive_key = max(0, np.ceil(adaptive_key))
+        adaptive_key = float(adaptive_key)
+        adaptive_factor = 2.0 ** (-adaptive_key / 12.0)
+        adaptive_sample_rate = 100 * int(
+            np.round(self.enhancer_sample_rate / adaptive_factor / 100)
+        )
+        real_factor = self.enhancer_sample_rate / adaptive_sample_rate
+
+        if sample_rate != adaptive_sample_rate:
+            audio_res = np.asarray(
+                resample(jnp.asarray(audio), sample_rate, adaptive_sample_rate)
+            )
+        else:
+            audio_res = np.asarray(audio)
+
+        n_frames = int(audio_res.shape[-1] // self.enhancer_hop_size + 1)
+        f0_np = np.asarray(f0)[0, :, 0] * real_factor
+        time_org = (hop_size / sample_rate) * np.arange(len(f0_np)) / real_factor
+        time_frame = (
+            self.enhancer_hop_size / self.enhancer_sample_rate
+        ) * np.arange(n_frames)
+        f0_res = np.interp(time_frame, time_org, f0_np, left=f0_np[0], right=f0_np[-1])
+        f0_res = f0_res[None, :].astype(np.float32)
+
+        enhanced, enhancer_sr = self.enhancer(
+            jnp.asarray(audio_res), jnp.asarray(f0_res), rng=rng
+        )
+        enhanced = np.asarray(enhanced)
+
+        if adaptive_sample_rate != enhancer_sr:
+            enhanced = np.asarray(
+                resample(jnp.asarray(enhanced), adaptive_sample_rate, enhancer_sr)
+            )
+        if start_frame > 0:
+            pad = int(np.round(enhancer_sr * real_silence_front))
+            enhanced = np.pad(enhanced, ((0, 0), (pad, 0)))
+        return enhanced, enhancer_sr

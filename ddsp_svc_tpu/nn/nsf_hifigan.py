@@ -1,0 +1,175 @@
+"""NSF-HiFiGAN vocoder (enhancer) in JAX.
+
+Capability parity with /root/reference/nsf_hifigan/models.py: SineGen
+harmonic source (harmonic_num=8 -> 9 sine channels, random initial phase per
+non-fundamental harmonic, amplitude 0.1), SourceModuleHnNSF (Linear(9->1) +
+tanh merge), and the Generator: conv_pre k7 -> N x [leaky_relu ->
+ConvTranspose upsample -> + f0-source injection conv -> mean of 3 parallel
+ResBlock1] -> leaky_relu -> conv_post k7 -> tanh.
+
+TPU-first notes:
+  - SineGen's fp64 cumsum + wraparound-shift trick (models.py:154-171) is
+    replaced by the framework's compensated mod-1 prefix scan at *frame*
+    rate plus exact per-sample linear accumulation within frames — the same
+    piecewise-linear phase the reference constructs, without fp64.
+  - Weight norm is folded at conversion (the reference removes it at load,
+    models.py:37).
+  - Transposed convs are expressed via lhs-dilated conv_general_dilated with
+    torch-compatible padding, so XLA lowers them to MXU matmuls.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.phase import _cumsum_mod1_compensated, _wrap
+
+LRELU_SLOPE = 0.1
+
+
+def _leaky(x, slope=LRELU_SLOPE):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def sine_source(
+    f0_frames: jnp.ndarray,
+    upp: int,
+    sr: int,
+    rand_ini: jnp.ndarray,
+    harmonic_num: int = 8,
+    sine_amp: float = 0.1,
+) -> jnp.ndarray:
+    """Harmonic sine bank at sample rate (SineGen parity, models.py:139-177).
+
+    f0_frames :: (B, F); rand_ini :: (B, H) with [:,0] == 0 (random initial
+    rotations). Returns (B, F*upp, H).
+    """
+    h = harmonic_num + 1
+    k = jnp.arange(1, h + 1, dtype=f0_frames.dtype)
+    rad = _wrap(f0_frames[..., None] * k / sr)  # per-sample rotation, (B,F,H)
+    d = _wrap(rad * upp)  # per-frame rotation (mod 1)
+    end = _cumsum_mod1_compensated(d, axis=1)  # rotation at each frame end
+    start = _wrap(end - d)  # rotation at frame start
+    start = _wrap(start + rand_ini[:, None, :])
+    # within-frame linear accumulation: sample s (1-indexed) adds rad*s
+    s = jnp.arange(1, upp + 1, dtype=f0_frames.dtype)
+    phase = start[:, :, None, :] + rad[:, :, None, :] * s[None, None, :, None]
+    b, f = f0_frames.shape
+    phase = phase.reshape(b, f * upp, h)
+    # note: the reference applies no explicit unvoiced masking here
+    # (models.py:176-177) — unvoiced regions yield a constant sin(rand phase)
+    return jnp.sin(2.0 * np.pi * phase) * sine_amp
+
+
+class ResBlock1(nn.Module):
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, ...] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilation):
+            pad = (self.kernel_size * d - d) // 2
+            xt = _leaky(x)
+            xt = nn.Conv(
+                self.channels, (self.kernel_size,), kernel_dilation=(d,),
+                padding=((pad, pad),), name=f"conv1_{i}",
+            )(xt)
+            xt = _leaky(xt)
+            pad1 = (self.kernel_size - 1) // 2
+            xt = nn.Conv(
+                self.channels, (self.kernel_size,),
+                padding=((pad1, pad1),), name=f"conv2_{i}",
+            )(xt)
+            x = xt + x
+        return x
+
+
+class ConvTranspose1dTorch(nn.Module):
+    """ConvTranspose1d with torch length semantics:
+    out = (in-1)*stride - 2*padding + kernel."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, s, p = self.kernel_size, self.stride, self.padding
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, in_ch, self.features)
+        )  # stored flipped-ready: (k, in, out)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        out = jax.lax.conv_general_dilated(
+            x.transpose(0, 2, 1)[:, :, :],  # (B, C, T)
+            jnp.flip(kernel, 0).transpose(2, 1, 0),  # (out, in, k)
+            window_strides=(1,),
+            padding=[(k - 1 - p, k - 1 - p)],
+            lhs_dilation=(s,),
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )
+        return out.transpose(0, 2, 1) + bias
+
+
+class Generator(nn.Module):
+    """NSF-HiFiGAN generator (models.py:219-276). Channel-last (B, T, C)."""
+
+    sampling_rate: int
+    num_mels: int
+    upsample_rates: Sequence[int]
+    upsample_kernel_sizes: Sequence[int]
+    upsample_initial_channel: int
+    resblock_kernel_sizes: Sequence[int]
+    resblock_dilation_sizes: Sequence[Sequence[int]]
+
+    @nn.compact
+    def __call__(
+        self, mel: jnp.ndarray, f0_frames: jnp.ndarray, rand_ini: jnp.ndarray
+    ) -> jnp.ndarray:
+        """mel :: (B, F, num_mels); f0_frames :: (B, F); rand_ini :: (B, 9).
+        Returns (B, F*prod(upsample_rates))."""
+        upp = int(np.prod(self.upsample_rates))
+        sine = sine_source(f0_frames, upp, self.sampling_rate, rand_ini)
+        har = jnp.tanh(nn.Dense(1, name="source_linear")(sine))  # (B, T, 1)
+
+        x = nn.Conv(
+            self.upsample_initial_channel, (7,), padding=((3, 3),), name="conv_pre"
+        )(mel)
+        n_up = len(self.upsample_rates)
+        n_kernels = len(self.resblock_kernel_sizes)
+        for i, (u, k) in enumerate(
+            zip(self.upsample_rates, self.upsample_kernel_sizes)
+        ):
+            ch = self.upsample_initial_channel // (2 ** (i + 1))
+            x = _leaky(x)
+            x = ConvTranspose1dTorch(
+                ch, k, u, (k - u) // 2, name=f"up_{i}"
+            )(x)
+            if i + 1 < n_up:
+                stride_f0 = int(np.prod(self.upsample_rates[i + 1 :]))
+                xs_src = nn.Conv(
+                    ch, (stride_f0 * 2,), strides=(stride_f0,),
+                    padding=((stride_f0 // 2, stride_f0 // 2),),
+                    name=f"noise_conv_{i}",
+                )(har)
+            else:
+                xs_src = nn.Conv(ch, (1,), name=f"noise_conv_{i}")(har)
+            x = x + xs_src[:, : x.shape[1], :]
+            xs = None
+            for j, (rk, rd) in enumerate(
+                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+            ):
+                r = ResBlock1(
+                    ch, rk, tuple(rd), name=f"resblock_{i}_{j}"
+                )(x)
+                xs = r if xs is None else xs + r
+            x = xs / n_kernels
+        x = _leaky(x, 0.01)  # final leaky_relu uses torch default slope (models.py:272)
+        x = nn.Conv(1, (7,), padding=((3, 3),), name="conv_post")(x)
+        return jnp.tanh(x)[..., 0]

@@ -160,6 +160,49 @@ def convert_hubert_state_dict(sd: Mapping, num_layers: int = 12) -> Dict:
     return {"params": params}
 
 
+def _fold_weight_norm(sd: Mapping, prefix: str) -> np.ndarray:
+    """Fold torch weight_norm(dim=0): w = g * v / ||v|| (norm over all dims
+    but 0). Falls back to a plain .weight if norm was already removed."""
+    if prefix + ".weight" in sd:
+        return _np(sd[prefix + ".weight"])
+    g = _np(sd[prefix + ".weight_g"])
+    v = _np(sd[prefix + ".weight_v"])
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt((v ** 2).sum(axis=axes, keepdims=True))
+    return v * (g / (norm + 1e-12))
+
+
+def convert_nsf_hifigan_state_dict(sd: Mapping, h: Mapping) -> Dict:
+    """Reference NSF-HiFiGAN 'generator' state dict -> flax params for
+    nn.nsf_hifigan.Generator (weight norm folded)."""
+
+    def conv_wn(prefix):
+        w = _fold_weight_norm(sd, prefix)  # (out, in, k)
+        return {"kernel": w.transpose(2, 1, 0), "bias": _np(sd[prefix + ".bias"])}
+
+    def convtrans_wn(prefix):
+        w = _fold_weight_norm(sd, prefix)  # (in, out, k)
+        return {"kernel": w.transpose(2, 0, 1), "bias": _np(sd[prefix + ".bias"])}
+
+    params: Dict = {
+        "conv_pre": conv_wn("conv_pre"),
+        "conv_post": conv_wn("conv_post"),
+        "source_linear": _dense(sd, "m_source.l_linear"),
+    }
+    n_kernels = len(h["resblock_kernel_sizes"])
+    for i in range(len(h["upsample_rates"])):
+        params[f"up_{i}"] = convtrans_wn(f"ups.{i}")
+        params[f"noise_conv_{i}"] = conv_wn(f"noise_convs.{i}")
+        for j in range(n_kernels):
+            rp = f"resblocks.{i * n_kernels + j}"
+            block: Dict = {}
+            for m in range(3):
+                block[f"conv1_{m}"] = conv_wn(f"{rp}.convs1.{m}")
+                block[f"conv2_{m}"] = conv_wn(f"{rp}.convs2.{m}")
+            params[f"resblock_{i}_{j}"] = block
+    return {"params": params}
+
+
 def convert_crepe_state_dict(sd: Mapping) -> Dict:
     """torchcrepe checkpoint -> flax params for nn.crepe.CrepeFull, with
     BatchNorm folded into per-channel (scale, bias)."""
