@@ -39,18 +39,12 @@ from ..ops.windows import hann_window_symmetric
 # ----------------------------- autocorrelation F0 ---------------------------
 
 
-@partial(jax.jit, static_argnames=("sr", "hop", "f0_min", "f0_max", "win"))
-def _autocorr_f0(audio, sr: int, hop: int, f0_min: float, f0_max: float, win: int):
-    """Boersma-style AC pitch per frame. audio :: (T,) -> (T//hop+1,) [Hz]."""
-    n_frames = audio.shape[0] // hop + 1
-    half = win // 2
-    x = jnp.pad(audio, (half, half + win))
-    idx = (
-        jnp.arange(n_frames)[:, None] * hop + jnp.arange(win)[None, :]
-    )
-    frames = x[idx]  # (N, W)
+@partial(jax.jit, static_argnames=("sr", "f0_min", "f0_max"))
+def _autocorr_f0_frames(frames, sr: int, f0_min: float, f0_max: float):
+    """Boersma-style AC pitch. frames :: (N, W) centered windows -> (N,) [Hz]."""
+    win = frames.shape[-1]
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
-    w = hann_window_symmetric(win, dtype=audio.dtype)
+    w = hann_window_symmetric(win, dtype=frames.dtype)
     fx = frames * w
 
     fft_size = next_pow2(2 * win)
@@ -68,7 +62,7 @@ def _autocorr_f0(audio, sr: int, hop: int, f0_min: float, f0_max: float, win: in
     valid = (lags >= lag_min) & (lags <= lag_max)
     # octave cost (Praat-style): prefer shorter lags when peaks tie, so the
     # fundamental wins over its subharmonics
-    octave_penalty = 0.01 * jnp.log2(jnp.maximum(lags, 1).astype(audio.dtype))
+    octave_penalty = 0.01 * jnp.log2(jnp.maximum(lags, 1).astype(frames.dtype))
     rn_masked = jnp.where(valid[None, :], rn - octave_penalty[None, :], -jnp.inf)
     peak = jnp.argmax(rn_masked, axis=-1)  # (N,)
 
@@ -79,12 +73,31 @@ def _autocorr_f0(audio, sr: int, hop: int, f0_min: float, f0_max: float, win: in
     denom = p0 - 2 * p1 + p2
     delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (p0 - p2) / denom, 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)
-    lag = peak.astype(audio.dtype) + delta
+    lag = peak.astype(frames.dtype) + delta
     f0 = sr / jnp.maximum(lag, 1.0)
 
     energy = r[..., 0] / win
     voiced = (p1 > 0.6) & (energy > 1e-8) & (f0 >= f0_min) & (f0 <= f0_max)
     return jnp.where(voiced, f0, 0.0)
+
+
+def _autocorr_f0(audio: np.ndarray, sr: int, hop: float, f0_min: float,
+                 f0_max: float, win: int) -> np.ndarray:
+    """Host wrapper: frame (float hop supported), bucket-pad, run the jitted
+    kernel. audio :: (T,) numpy -> (T//hop + 1,) numpy [Hz]."""
+    n_frames = int(len(audio) // hop) + 1
+    half = win // 2
+    x = np.pad(audio, (half, half + win))
+    pos = np.round(np.arange(n_frames) * hop).astype(np.int64)
+    idx = pos[:, None] + np.arange(win)[None, :]
+    frames = x[np.minimum(idx, len(x) - 1)]
+    bucket = next_pow2(n_frames)
+    if bucket > n_frames:
+        frames = np.pad(frames, ((0, bucket - n_frames), (0, 0)))
+    out = np.asarray(
+        _autocorr_f0_frames(jnp.asarray(frames), sr, float(f0_min), float(f0_max))
+    )
+    return out[:n_frames]
 
 
 class F0Extractor:
@@ -124,21 +137,10 @@ class F0Extractor:
         if self.f0_extractor == "crepe":
             f0 = self._extract_crepe(audio_trim, n_frames - start_frame)
         else:
-            # bucket audio length so jit caches by power-of-two frame count
-            n_sub = len(audio_trim) // self.hop_size + 1
-            bucket_frames = next_pow2(n_sub)
-            pad = (bucket_frames - 1) * self.hop_size - len(audio_trim)
-            audio_pad = np.pad(audio_trim, (0, max(pad, 0)))
-            f0 = np.asarray(
-                _autocorr_f0(
-                    jnp.asarray(audio_pad),
-                    self.sample_rate,
-                    self.hop_size,
-                    float(self.f0_min),
-                    float(self.f0_max),
-                    self.win,
-                )
-            )[:n_sub]
+            f0 = _autocorr_f0(
+                audio_trim, self.sample_rate, self.hop_size,
+                self.f0_min, self.f0_max, self.win,
+            )
 
         f0 = np.pad(f0.astype(np.float32), (start_frame, 0))
         if len(f0) < n_frames:
