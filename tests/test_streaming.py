@@ -1,0 +1,105 @@
+"""Streaming engine tests: SOLA alignment (the reference's own debug
+strategy, gui.py:391-397: randomly-shifted passthrough must splice smoothly)
+and phase vocoder parity."""
+import numpy as np
+import jax.numpy as jnp
+
+from ddsp_svc_tpu.infer.streaming import StreamingSession, phase_vocoder, sola_shift
+
+
+class ShiftingPassthroughCore:
+    """Fake SvcCore: returns the input window rolled by a random shift —
+    SOLA must absorb the shifts."""
+
+    def __init__(self, sr, seed=0):
+        self.sr = sr
+        self.rng = np.random.default_rng(seed)
+
+    def infer(self, audio, sample_rate, **kw):
+        shift = int(self.rng.uniform(-200, 200))
+        return np.roll(audio, shift), self.sr
+
+
+def test_sola_reconstructs_continuous_signal():
+    sr = 16000
+    core = ShiftingPassthroughCore(sr)
+    sess = StreamingSession(core, samplerate=sr, block_time=0.1,
+                            crossfade_time=0.02, buffer_num=1)
+    t = np.arange(sr * 2) / sr
+    signal = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+
+    outs = []
+    bf = sess.block_frame
+    for i in range(signal.shape[0] // bf):
+        outs.append(sess.process_block(signal[i * bf : (i + 1) * bf]))
+    out = np.concatenate(outs)
+
+    # after warmup, the output must stay smooth at block boundaries: the
+    # max jump between adjacent samples of a 220 Hz sine at 16 kHz is ~0.086
+    steady = out[4 * bf :]
+    jumps = np.abs(np.diff(steady))
+    assert jumps.max() < 0.2, jumps.max()
+    # and it should still be a 220 Hz tone: dominant FFT bin check
+    spec = np.abs(np.fft.rfft(steady * np.hanning(len(steady))))
+    peak_hz = np.argmax(spec) * sr / len(steady)
+    assert abs(peak_hz - 220) < 5, peak_hz
+
+
+def test_sola_shift_finds_known_offset():
+    rng = np.random.default_rng(0)
+    sola_buf = rng.standard_normal(320).astype(np.float32)
+    true_shift = 57
+    wav = np.concatenate(
+        [rng.standard_normal(true_shift).astype(np.float32) * 0.01,
+         sola_buf,
+         rng.standard_normal(800).astype(np.float32)]
+    )
+    got = sola_shift(wav, sola_buf, search_frames=160)
+    assert got == true_shift, got
+
+
+def test_phase_vocoder_parity_with_torch_formula():
+    import torch
+
+    rng = np.random.default_rng(1)
+    n = 256
+    a = rng.standard_normal(n).astype(np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    fade_in = (np.sin(np.pi * np.arange(0, 1, 1 / n) / 2) ** 2).astype(np.float32)
+    fade_out = (1 - fade_in).astype(np.float32)
+
+    # reference formula (gui.py:14-31), executed in torch
+    ta, tb = torch.from_numpy(a), torch.from_numpy(b)
+    fa, fb = torch.fft.rfft(ta), torch.fft.rfft(tb)
+    absab = torch.abs(fa) + torch.abs(fb)
+    absab[1:-1] *= 2
+    phia, phib = torch.angle(fa), torch.angle(fb)
+    dp = phib - phia
+    dp = dp - 2 * np.pi * torch.floor(dp / 2 / np.pi + 0.5)
+    w = 2 * np.pi * torch.arange(n // 2 + 1) + dp
+    t = torch.arange(n).unsqueeze(-1) / n
+    fo, fi = torch.from_numpy(fade_out), torch.from_numpy(fade_in)
+    ref = (ta * fo**2 + tb * fi**2
+           + torch.sum(absab * torch.cos(w * t + phia), -1) * fo * fi / n)
+
+    got = np.asarray(
+        phase_vocoder(jnp.asarray(a), jnp.asarray(b),
+                      jnp.asarray(fade_out), jnp.asarray(fade_in))
+    )
+    np.testing.assert_allclose(got, ref.numpy(), atol=1e-3)
+
+
+def test_phase_vocoder_endpoints():
+    """At t=0 the splice must equal a, at the end approach b (fade laws)."""
+    n = 128
+    t = np.arange(n) / n
+    a = np.sin(2 * np.pi * 5 * t).astype(np.float32)
+    b = np.sin(2 * np.pi * 5 * t + 0.3).astype(np.float32)
+    fade_in = (np.sin(np.pi * t / 2) ** 2).astype(np.float32)
+    fade_out = 1 - fade_in
+    out = np.asarray(
+        phase_vocoder(jnp.asarray(a), jnp.asarray(b),
+                      jnp.asarray(fade_out), jnp.asarray(fade_in))
+    )
+    assert abs(out[0] - a[0]) < 0.05
+    assert np.isfinite(out).all()
