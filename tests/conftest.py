@@ -22,9 +22,14 @@ jax.config.update("jax_platforms", "cpu")
 
 # Parity tests import torch-only modules from the read-only reference mount
 # (they are executed, never copied). Guarded: tests skip if unavailable.
+# Appended LAST so top-level repo modules (main, webui, gui_locale, ...)
+# shadow the reference's same-named files; repo root goes first.
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
 REFERENCE_PATH = "/root/reference"
 if os.path.isdir(REFERENCE_PATH) and REFERENCE_PATH not in sys.path:
-    sys.path.insert(0, REFERENCE_PATH)
+    sys.path.append(REFERENCE_PATH)
 
 import pytest  # noqa: E402
 
