@@ -108,10 +108,15 @@ class F0Extractor:
         hop_size: int = 512,
         f0_min: float = 65,
         f0_max: float = 800,
+        backend: str = "jax",
     ):
+        """backend: 'jax' (device autocorrelation), 'native' (C++ NCCF host
+        library — the CPU fast path for preprocessing), or 'auto' (native if
+        built, else jax). 'crepe' always runs the JAX CREPE model."""
         if f0_extractor not in ("parselmouth", "dio", "harvest", "crepe"):
             raise ValueError(f" [x] Unknown f0 extractor: {f0_extractor}")
         self.f0_extractor = f0_extractor
+        self.backend = backend
         self.sample_rate = sample_rate
         self.hop_size = hop_size
         self.f0_min = f0_min
@@ -137,10 +142,21 @@ class F0Extractor:
         if self.f0_extractor == "crepe":
             f0 = self._extract_crepe(audio_trim, n_frames - start_frame)
         else:
-            f0 = _autocorr_f0(
-                audio_trim, self.sample_rate, self.hop_size,
-                self.f0_min, self.f0_max, self.win,
-            )
+            f0 = None
+            if self.backend in ("native", "auto"):
+                from .. import native
+
+                f0 = native.extract_f0_native(
+                    audio_trim, self.sample_rate, self.hop_size,
+                    self.f0_min, self.f0_max, self.win,
+                )
+                if f0 is None and self.backend == "native":
+                    raise RuntimeError("native f0 library unavailable")
+            if f0 is None:
+                f0 = _autocorr_f0(
+                    audio_trim, self.sample_rate, self.hop_size,
+                    self.f0_min, self.f0_max, self.win,
+                )
 
         f0 = np.pad(f0.astype(np.float32), (start_frame, 0))
         if len(f0) < n_frames:

@@ -94,7 +94,9 @@ class Sins(nn.Module):
         amplitudes_frames = remove_above_fmax(
             amplitudes_frames, f0_frames, self.sampling_rate / 2.0, level_start=1
         )
-        sinusoids = oscillator_bank(
+        from ..ops.pallas_kernels import oscillator_bank_auto
+
+        sinusoids = oscillator_bank_auto(
             phase, amplitudes_frames, self.block_size,
             harmonic_chunk=max_upsample_dim,
         )

@@ -1,0 +1,109 @@
+"""Pallas TPU kernels for the DSP hot paths.
+
+Oscillator bank (the Sins synthesizer's dominant op, SURVEY §7 "Pallas
+kernel targets"): out[t] = sum_k lerp(amp)[t, k] * sin((k+1) * phase[t]).
+The XLA fallback (ops.exciters.oscillator_bank) materializes per-chunk
+(B, T, H) intermediates in HBM; this kernel tiles time by frames so the
+(frames, block, H) product lives entirely in VMEM and the amplitude
+upsampling (linear interp between adjacent frames) fuses with the sine
+evaluation and the harmonic reduction. H=128 harmonics lands exactly on the
+TPU lane width; 8 frames per program satisfies the (8, 128) sublane/lane
+tiling constraint.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+FRAMES_PER_PROGRAM = 8
+
+
+def _osc_kernel(phase_ref, amp_ref, out_ref, *, block_size: int):
+    # phase_ref/out_ref: (FR, TILE); amp_ref: (FR, 2, H)
+    fr, tile = phase_ref.shape
+    h = amp_ref.shape[-1]
+    phase = phase_ref[:, :]
+    a0 = amp_ref[:, 0, :]  # (FR, H)
+    a1 = amp_ref[:, 1, :]
+    frac = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, tile, 1), 1).astype(jnp.float32)
+        / block_size
+    )
+    amp = a0[:, None, :] * (1.0 - frac) + a1[:, None, :] * frac  # (FR,TILE,H)
+    levels = 1.0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, h), 2).astype(
+        jnp.float32
+    )
+    s = jnp.sin(phase[:, :, None] * levels)
+    out_ref[:, :] = jnp.sum(amp * s, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
+def oscillator_bank_pallas(
+    phase: jnp.ndarray,
+    amplitudes_frames: jnp.ndarray,
+    block_size: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused additive synthesis. phase :: (B, T) [rad];
+    amplitudes_frames :: (B, F, H) with T == F * block_size. -> (B, T)."""
+    b, t = phase.shape
+    _, f, h = amplitudes_frames.shape
+    assert t == f * block_size, (t, f, block_size)
+    h_pad = max(128, ((h + 127) // 128) * 128)
+    if h_pad != h:
+        amplitudes_frames = jnp.pad(
+            amplitudes_frames, ((0, 0), (0, 0), (0, h_pad - h))
+        )
+    # frame pairs (j, j+1), last frame repeated; flatten (B, F) -> rows
+    ext = jnp.concatenate(
+        [amplitudes_frames, amplitudes_frames[:, -1:, :]], axis=1
+    )
+    pairs = jnp.stack([ext[:, :-1, :], ext[:, 1:, :]], axis=2)  # (B,F,2,H)
+    n_rows = b * f
+    fr = FRAMES_PER_PROGRAM
+    rows_pad = (-n_rows) % fr
+    phase_rows = phase.reshape(n_rows, block_size)
+    amp_rows = pairs.reshape(n_rows, 2, h_pad)
+    if rows_pad:
+        phase_rows = jnp.pad(phase_rows, ((0, rows_pad), (0, 0)))
+        amp_rows = jnp.pad(amp_rows, ((0, rows_pad), (0, 0), (0, 0)))
+
+    kernel = functools.partial(_osc_kernel, block_size=block_size)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(phase_rows.shape, phase.dtype),
+        grid=(phase_rows.shape[0] // fr,),
+        in_specs=[
+            pl.BlockSpec(
+                (fr, block_size), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (fr, 2, h_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (fr, block_size), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(phase_rows, amp_rows)
+    return out[:n_rows].reshape(b, t)
+
+
+def oscillator_bank_auto(
+    phase: jnp.ndarray, amplitudes_frames: jnp.ndarray, block_size: int,
+    harmonic_chunk: int = 32,
+) -> jnp.ndarray:
+    """Dispatch: Pallas on TPU backends, XLA scan elsewhere."""
+    from .exciters import oscillator_bank
+
+    t = phase.shape[1]
+    f = amplitudes_frames.shape[1]
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if on_tpu and t == f * block_size and block_size % 128 == 0:
+        return oscillator_bank_pallas(phase, amplitudes_frames, block_size)
+    return oscillator_bank(phase, amplitudes_frames, block_size, harmonic_chunk)
