@@ -1,18 +1,36 @@
 #!/usr/bin/env python
 """Benchmark driver: audio-seconds synthesized per wall-second per chip.
 
-Runs the flagship CombSubFast inference path (44.1 kHz, hop 512) on the
-available accelerator and prints ONE JSON line:
+Headline configuration per BASELINE.md: CombSubFast synthesis + NSF-HiFiGAN
+enhancer (44.1 kHz, hop 512, 128-mel community-vocoder geometry), fused into
+a single jit program. Weights are randomly initialized — FLOP/byte profile
+is identical to pretrained weights. Prints ONE JSON line:
+
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Baseline (BASELINE.md): the reference publishes no numbers; the operative
-north star is >100x realtime per chip for the synthesis path, so
-vs_baseline = realtime_factor / 100.
+vs_baseline = realtime_factor / 100 (the reference publishes no numbers; the
+operative target is >100x realtime per chip, BASELINE.md).
 """
 import json
 import time
 
 import numpy as np
+
+H_NSF = {
+    "sampling_rate": 44100,
+    "num_mels": 128,
+    "n_fft": 2048,
+    "win_size": 2048,
+    "hop_size": 512,
+    "fmin": 40,
+    "fmax": 16000,
+    "upsample_rates": [8, 8, 2, 2, 2],
+    "upsample_kernel_sizes": [16, 16, 4, 4, 4],
+    "upsample_initial_channel": 512,
+    "resblock": "1",
+    "resblock_kernel_sizes": [3, 7, 11],
+    "resblock_dilation_sizes": [[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+}
 
 
 def main():
@@ -20,40 +38,44 @@ def main():
     import jax.numpy as jnp
 
     from ddsp_svc_tpu.models import CombSubFast
+    from ddsp_svc_tpu.infer.enhancer import NsfHifiGAN
 
     sr, block, n_unit = 44100, 512, 256
-    n_frames = 1024  # ~11.9 s of audio per call
-    b = 4
+    n_frames = 512  # ~5.9 s of audio per item
+    b = 2
 
     rng = np.random.default_rng(0)
     units = jnp.asarray(rng.standard_normal((b, n_frames, n_unit)).astype(np.float32))
     f0 = jnp.asarray((110.0 + 300.0 * rng.random((b, n_frames, 1))).astype(np.float32))
     volume = jnp.asarray(rng.random((b, n_frames)).astype(np.float32))
     spk_id = jnp.asarray(np.ones((b, 1), dtype=np.int64))
-    noise = jnp.asarray(
-        (rng.random((b, n_frames * block)) * 2 - 1).astype(np.float32)
-    )
+    noise = jnp.asarray((rng.random((b, n_frames * block)) * 2 - 1).astype(np.float32))
+    rand_ini = jnp.zeros((b, 9))
 
     model = CombSubFast(sampling_rate=sr, block_size=block, n_unit=n_unit, n_spk=8)
     variables = jax.jit(
         lambda k, u, f, v, s, n: model.init({"params": k}, u, f, v, s, noise=n)
     )(jax.random.key(0), units, f0, volume, spk_id, noise)
 
-    @jax.jit
-    def forward(units, f0, volume, spk_id, noise):
+    nsf = NsfHifiGAN(None, h=H_NSF)
+
+    def full(variables, nsf_vars, units, f0, volume, spk_id, noise, rand_ini):
         signal, _, _ = model.apply(
             variables, units, f0, volume, spk_id, infer=True, noise=noise
         )
-        return signal
+        f0_frames = f0[..., 0]
+        return nsf._forward_impl(nsf_vars, signal, f0_frames, rand_ini)
 
-    # warmup/compile
-    out = forward(units, f0, volume, spk_id, noise)
-    jax.block_until_ready(out)
+    fwd = jax.jit(full)
+    args = (variables, nsf.variables, units, f0, volume, spk_id, noise, rand_ini)
 
-    n_iters = 20
+    out = fwd(*args)
+    jax.block_until_ready(out)  # compile + warmup
+
+    n_iters = 10
     st = time.perf_counter()
     for _ in range(n_iters):
-        out = forward(units, f0, volume, spk_id, noise)
+        out = fwd(*args)
     jax.block_until_ready(out)
     dt = time.perf_counter() - st
 
@@ -62,7 +84,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "combsub_realtime_factor",
+                "metric": "combsub_enhancer_realtime_factor",
                 "value": round(rtf, 2),
                 "unit": "audio_sec/s/chip",
                 "vs_baseline": round(rtf / 100.0, 3),

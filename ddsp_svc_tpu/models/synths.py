@@ -37,6 +37,7 @@ from ..ops import (
     frame_signal,
     overlap_add_half,
 )
+from ..ops.spectral import rfft as _rfft, irfft as _irfft
 
 Output = Tuple[jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]
 
@@ -194,10 +195,10 @@ class CombSubFast(nn.Module):
         noise_filter = jnp.exp(noise_mag) / 128.0
         noise_filter = jnp.concatenate([noise_filter, noise_filter[:, -1:, :]], 1)
 
-        tooth_fft = jnp.fft.rfft(tooth_frames, 2 * bs)
-        noise_fft = jnp.fft.rfft(noise_frames, 2 * bs)
+        tooth_fft = _rfft(tooth_frames, 2 * bs)
+        noise_fft = _rfft(noise_frames, 2 * bs)
         signal_fft = tooth_fft * src_filter + noise_fft * noise_filter
-        signal_frames = jnp.fft.irfft(signal_fft, 2 * bs) * window
+        signal_frames = _irfft(signal_fft, 2 * bs) * window
 
         signal = overlap_add_half(signal_frames, bs)  # (B, (n+2)*bs)
         signal = signal[:, bs:-bs]

@@ -22,7 +22,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .windows import hann_window, bartlett_window
-from .spectral import frame_signal, overlap_add, next_pow2
+from .spectral import frame_signal, overlap_add, next_pow2, rfft as _rfft, irfft as _irfft
 
 
 def _apply_window_to_impulse_response(ir: jnp.ndarray) -> jnp.ndarray:
@@ -100,9 +100,9 @@ def fft_convolve(audio: jnp.ndarray, impulse_response: jnp.ndarray) -> jnp.ndarr
     ir_frames = jnp.concatenate(
         [impulse_response, impulse_response[:, -1:, :]], axis=1
     )
-    audio_fft = jnp.fft.rfft(audio_frames, fft_size)
-    ir_fft = jnp.fft.rfft(ir_frames, fft_size)
-    conv_frames = jnp.fft.irfft(audio_fft * ir_fft, fft_size)
+    audio_fft = _rfft(audio_frames, fft_size)
+    ir_fft = _rfft(ir_frames, fft_size)
+    conv_frames = _irfft(audio_fft * ir_fft, fft_size)
 
     out = overlap_add(conv_frames, hop)
     start = hop + ir_size // 2

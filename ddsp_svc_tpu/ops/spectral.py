@@ -21,6 +21,7 @@ from __future__ import annotations
 from functools import lru_cache
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .windows import hann_window
@@ -28,6 +29,71 @@ from .windows import hann_window
 
 def next_pow2(n: int) -> int:
     return 1 << (int(n) - 1).bit_length()
+
+
+# --------------------------- FFT backend switch -----------------------------
+#
+# jnp.fft is the default. The "dft" mode computes the same transforms as
+# explicit DFT matmuls — sharding-robust (XLA:CPU's fft thunk rejects
+# non-major layouts produced by SPMD partitioning) and MXU-friendly for the
+# small fixed sizes the synthesizers use. Tests of the time-parallel path and
+# sharded-inference deployments on backends with partitioned-FFT issues flip
+# this to "dft".
+
+_FFT_MODE = "fft"
+
+
+def set_fft_mode(mode: str) -> None:
+    global _FFT_MODE
+    assert mode in ("fft", "dft"), mode
+    _FFT_MODE = mode
+
+
+def get_fft_mode() -> str:
+    return _FFT_MODE
+
+
+@lru_cache(maxsize=16)
+def _dft_matrices(n: int):
+    t = np.arange(n)
+    k = np.arange(n // 2 + 1)
+    ang = 2.0 * np.pi * np.outer(t, k) / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def rfft(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    if _FFT_MODE == "fft":
+        return jnp.fft.rfft(x, n)
+    t = x.shape[-1]
+    if t < n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - t)])
+    else:
+        x = x[..., :n]
+    cos, sin = _dft_matrices(n)
+    re = x @ jnp.asarray(cos)
+    im = -(x @ jnp.asarray(sin))
+    return jax.lax.complex(re, im)
+
+
+def irfft(X: jnp.ndarray, n: int) -> jnp.ndarray:
+    if _FFT_MODE == "fft":
+        return jnp.fft.irfft(X, n)
+    bins = n // 2 + 1
+    Xr = jnp.real(X)[..., :bins]
+    Xi = jnp.imag(X)[..., :bins]
+    if X.shape[-1] < bins:
+        pad = bins - X.shape[-1]
+        Xr = jnp.pad(Xr, [(0, 0)] * (Xr.ndim - 1) + [(0, pad)])
+        Xi = jnp.pad(Xi, [(0, 0)] * (Xi.ndim - 1) + [(0, pad)])
+    cos, sin = _dft_matrices(n)
+    # inverse real DFT: interior bins count twice (conjugate symmetry)
+    w = np.ones(bins, dtype=np.float32) * 2.0
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    Xr = Xr * w
+    Xi = Xi * w
+    return (Xr @ jnp.asarray(cos.T) - Xi @ jnp.asarray(sin.T)) / n
 
 
 def frame_signal(x: jnp.ndarray, frame_size: int, hop: int) -> jnp.ndarray:
@@ -86,7 +152,7 @@ def stft(
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)],
                     mode=pad_mode)
     frames = frame_signal(x, n_fft, hop) * window
-    return jnp.fft.rfft(frames, n_fft)
+    return rfft(frames, n_fft)
 
 
 def spectrogram(

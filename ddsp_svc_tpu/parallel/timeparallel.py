@@ -1,0 +1,67 @@
+"""Time-axis (sequence/context) parallelism for long-utterance inference.
+
+The reference handles long sequences only algorithmically (linear-attention,
+silence slicing, streaming blocks — SURVEY §2.3); multi-chip long-sequence
+processing is new capability here. The TPU-idiomatic design: shard the
+*time/frame axis* of every activation over the mesh and jit the unmodified
+model — XLA's SPMD partitioner inserts exactly the communication the hand-
+rolled ring would need:
+
+  - conformer conv (k=31) / prenet conv (k=3): halo exchanges,
+  - non-causal linear attention: psum of the per-shard (K^T V, sum K)
+    moments (a d x m matrix per head — the cheap linear-attention property),
+  - phase accumulation (wrapped associative scan): log-depth
+    collective-permute prefix exchange,
+  - STFT framing / overlap-add at shard boundaries: one-block halos.
+
+The model code stays single-program; no manual collectives to maintain.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_time_parallel_forward(model, variables, mesh: Mesh,
+                               axis: str = "data", fft_mode: str = "auto"):
+    """Jitted forward with all time/frame axes sharded over `axis`.
+
+    Returns fn(units, f0, volume, spk_id, noise) -> signal, where
+    units :: (B, F, C), f0 :: (B, F, 1), volume :: (B, F),
+    noise :: (B, F*block). F and T must divide the axis size.
+
+    fft_mode: 'fft' | 'dft' | 'auto'. XLA:CPU's fft thunk rejects the
+    layouts SPMD partitioning produces, so on CPU backends the synthesizer
+    FFTs are lowered as DFT matmuls instead ('auto' picks per backend).
+    """
+    from ..ops import spectral
+
+    if fft_mode == "auto":
+        fft_mode = "dft" if jax.default_backend() == "cpu" else "fft"
+    spectral.set_fft_mode(fft_mode)
+    t_shard = P(None, axis)
+
+    def forward(units, f0, volume, spk_id, noise):
+        units = jax.lax.with_sharding_constraint(
+            units, NamedSharding(mesh, P(None, axis, None))
+        )
+        f0 = jax.lax.with_sharding_constraint(
+            f0, NamedSharding(mesh, P(None, axis, None))
+        )
+        volume = jax.lax.with_sharding_constraint(
+            volume, NamedSharding(mesh, t_shard)
+        )
+        noise = jax.lax.with_sharding_constraint(
+            noise, NamedSharding(mesh, t_shard)
+        )
+        signal, _, _ = model.apply(
+            variables, units, f0, volume, spk_id, infer=True, noise=noise
+        )
+        return signal
+
+    return jax.jit(
+        forward,
+        out_shardings=NamedSharding(mesh, t_shard),
+    )

@@ -90,3 +90,39 @@ def test_tp_rules_applied(setup):
     # divisibility guard must fall back to replication.
     vk = [k for k in specs if k.endswith("dense_out/v")]
     assert vk and all(specs[k] == jax.sharding.PartitionSpec() for k in vk)
+
+
+def test_time_parallel_inference_matches_single_device(setup):
+    """Frame-axis sharding over 8 devices must reproduce single-device
+    output (GSPMD inserts halo/prefix/moment collectives)."""
+    import jax.numpy as jnp
+    from ddsp_svc_tpu.parallel.timeparallel import make_time_parallel_forward
+
+    model, optimizer, _, state0, _ = setup
+    variables = {"params": state0.params, "constants": state0.constants}
+
+    rng = np.random.default_rng(7)
+    b, n_frames, block, n_unit = 1, 64, 256, 64  # 64 frames / 8 shards
+    units = jnp.asarray(rng.standard_normal((b, n_frames, n_unit)).astype(np.float32))
+    f0 = jnp.asarray((200 * rng.random((b, n_frames, 1)) + 80).astype(np.float32))
+    volume = jnp.asarray(rng.random((b, n_frames)).astype(np.float32))
+    spk = jnp.asarray(np.ones((b, 1), dtype=np.int64))
+    noise = jnp.asarray((rng.random((b, n_frames * block)) * 2 - 1).astype(np.float32))
+
+    # single-device baseline in the same FFT mode the CPU-sharded path uses
+    from ddsp_svc_tpu.ops import spectral
+
+    spectral.set_fft_mode("dft")
+    try:
+        ref = np.asarray(
+            model.apply(variables, units, f0, volume, spk, infer=True, noise=noise)[0]
+        )
+        mesh = make_mesh(n_data=8, n_model=1)
+        fwd = make_time_parallel_forward(model, variables, mesh, axis="data")
+        got = np.asarray(fwd(units, f0, volume, spk, noise))
+    finally:
+        spectral.set_fft_mode("fft")
+    # sharded reductions reassociate float math and the exp() filters amplify
+    # it; require agreement to 0.3% of the signal amplitude
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 3e-3, np.abs(got - ref).max() / scale
