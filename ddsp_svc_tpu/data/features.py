@@ -218,7 +218,14 @@ class UnitsEncoder:
         self.encoder = encoder
         self.encoder_sample_rate = encoder_sample_rate
         self.encoder_hop_size = encoder_hop_size
-        self.model = HubertSoft()
+        # encoder variant matrix (vocoder.py:153-166): base/contentvec take
+        # transformer layer 9, with or without the 768->256 final projection
+        if encoder == "hubertsoft":
+            self.model = HubertSoft()
+        elif encoder in ("hubertbase", "contentvec"):
+            self.model = HubertSoft(output_layer=9, proj_dim=256, pad_input=False)
+        else:  # hubertbase768 / contentvec768
+            self.model = HubertSoft(output_layer=9, proj_dim=None, pad_input=False)
         if encoder_ckpt:
             self.variables = self._load_ckpt(encoder_ckpt)
         else:  # random init (tests / benchmarking without pretrained assets)
@@ -228,7 +235,10 @@ class UnitsEncoder:
         self._apply = jax.jit(self.model.apply)
 
     def _load_ckpt(self, path: str):
-        from ..utils.convert import convert_hubert_state_dict
+        from ..utils.convert import (
+            convert_hubert_state_dict,
+            convert_fairseq_hubert_state_dict,
+        )
 
         if path.endswith((".ckpt", ".msgpack")):
             from flax import serialization
@@ -238,11 +248,19 @@ class UnitsEncoder:
         # torch checkpoint
         import torch
 
-        sd = torch.load(path, map_location="cpu", weights_only=True)
-        if isinstance(sd, dict) and "state_dict" in sd:
-            sd = sd["state_dict"]
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        for key in ("state_dict", "model"):
+            if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
+                sd = sd[key]
         sd = {k.removeprefix("module."): v for k, v in sd.items()}
-        return jax.tree.map(jnp.asarray, convert_hubert_state_dict(sd))
+        if any(k.startswith("encoder.layers.0.self_attn.k_proj") for k in sd):
+            # fairseq layout (ContentVec / HuBERT-base)
+            variables = convert_fairseq_hubert_state_dict(
+                sd, final_proj=self.encoder in ("hubertbase", "contentvec")
+            )
+        else:
+            variables = convert_hubert_state_dict(sd)
+        return jax.tree.map(jnp.asarray, variables)
 
     def encode(self, audio: np.ndarray, sample_rate: int, hop_size: int) -> np.ndarray:
         """:: (B, T) at sample_rate -> (B, T//hop+1, 256)."""

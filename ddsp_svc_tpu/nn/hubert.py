@@ -105,18 +105,31 @@ class TransformerLayer(nn.Module):
 
 
 class HubertSoft(nn.Module):
-    """Full encoder; __call__ == reference HubertSoft.units (inference)."""
+    """HuBERT-family encoder; __call__ == reference HubertSoft.units.
+
+    Variants (the reference's encoder matrix, vocoder.py:153-166):
+      - hubertsoft: full 12 layers + proj 768->256 (defaults)
+      - hubertbase / contentvec: output_layer=9, final_proj 768->256
+      - hubertbase768 / contentvec768: output_layer=9, no projection
+    """
 
     num_layers: int = 12
+    output_layer: int | None = None  # stop after this many layers (1-based)
+    proj_dim: int | None = 256  # None = raw transformer features
+    pad_input: bool = True  # (400-320)/2-sample pad (model.py:83)
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
-        """:: (B, T) 16 kHz audio -> (B, Frame, 256) soft units."""
-        x = jnp.pad(wav, ((0, 0), (40, 40)))
-        x = FeatureExtractor(name="feature_extractor")(x)
+        """:: (B, T) 16 kHz audio -> (B, Frame, proj_dim or 768)."""
+        if self.pad_input:
+            wav = jnp.pad(wav, ((0, 0), (40, 40)))
+        x = FeatureExtractor(name="feature_extractor")(wav)
         x = FeatureProjection(name="feature_projection")(x)
         x = x + PositionalConvEmbedding(name="positional_embedding")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
-        for i in range(self.num_layers):
+        n_layers = self.output_layer or self.num_layers
+        for i in range(n_layers):
             x = TransformerLayer(name=f"layer_{i}")(x)
-        return nn.Dense(256, name="proj")(x)
+        if self.proj_dim is not None:
+            x = nn.Dense(self.proj_dim, name="proj")(x)
+        return x

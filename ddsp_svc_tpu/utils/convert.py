@@ -160,6 +160,68 @@ def convert_hubert_state_dict(sd: Mapping, num_layers: int = 12) -> Dict:
     return {"params": params}
 
 
+def convert_fairseq_hubert_state_dict(
+    sd: Mapping, num_layers: int = 12, final_proj: bool = True
+) -> Dict:
+    """fairseq HubertModel / ContentVec checkpoint -> flax params for
+    nn.hubert.HubertSoft (base-variant layout: separate q/k/v projections,
+    grouped feature-extractor conv list, pos_conv weight norm folded).
+
+    Covers the reference's Audio2ContentVec/Audio2HubertBase loading paths
+    (vocoder.py:231-332), which go through fairseq checkpoint loading there.
+    """
+    if "model" in sd and isinstance(sd["model"], Mapping):
+        sd = sd["model"]
+
+    params: Dict = {"feature_extractor": {}, "feature_projection": {}}
+    fe = params["feature_extractor"]
+    for i in range(7):
+        fe[f"conv{i}"] = _conv1d(sd, f"feature_extractor.conv_layers.{i}.0")
+    fe["norm0_scale"] = _np(sd["feature_extractor.conv_layers.0.2.weight"])
+    fe["norm0_bias"] = _np(sd["feature_extractor.conv_layers.0.2.bias"])
+
+    params["feature_projection"] = {
+        "norm": _norm(sd, "layer_norm"),
+        "projection": _dense(sd, "post_extract_proj"),
+    }
+
+    g = _np(sd["encoder.pos_conv.0.weight_g"])
+    v = _np(sd["encoder.pos_conv.0.weight_v"])
+    norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+    w = v * (g / (norm + 1e-12))
+    params["positional_embedding"] = {
+        "conv": {
+            "kernel": w.transpose(2, 1, 0),
+            "bias": _np(sd["encoder.pos_conv.0.bias"]),
+        }
+    }
+    params["norm"] = _norm(sd, "encoder.layer_norm")
+    for i in range(num_layers):
+        lp = f"encoder.layers.{i}."
+        if lp + "self_attn.q_proj.weight" not in sd:
+            break
+        wq = _np(sd[lp + "self_attn.q_proj.weight"]).T
+        wk = _np(sd[lp + "self_attn.k_proj.weight"]).T
+        wv = _np(sd[lp + "self_attn.v_proj.weight"]).T
+        bq = _np(sd[lp + "self_attn.q_proj.bias"])
+        bk = _np(sd[lp + "self_attn.k_proj.bias"])
+        bv = _np(sd[lp + "self_attn.v_proj.bias"])
+        params[f"layer_{i}"] = {
+            "in_proj": {
+                "kernel": np.concatenate([wq, wk, wv], axis=1),
+                "bias": np.concatenate([bq, bk, bv]),
+            },
+            "out_proj": _dense(sd, lp + "self_attn.out_proj"),
+            "linear1": _dense(sd, lp + "fc1"),
+            "linear2": _dense(sd, lp + "fc2"),
+            "norm1": _norm(sd, lp + "self_attn_layer_norm"),
+            "norm2": _norm(sd, lp + "final_layer_norm"),
+        }
+    if final_proj and "final_proj.weight" in sd:
+        params["proj"] = _dense(sd, "final_proj")
+    return {"params": params}
+
+
 def _fold_weight_norm(sd: Mapping, prefix: str) -> np.ndarray:
     """Fold torch weight_norm(dim=0): w = g * v / ||v|| (norm over all dims
     but 0). Falls back to a plain .weight if norm was already removed."""

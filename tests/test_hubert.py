@@ -54,3 +54,63 @@ def test_hubert_frame_rate(ref_hubert):
     wav = jnp.zeros((1, 16000))
     out = model.apply(variables, wav)
     assert out.shape == (1, 16000 // 320, 256)
+
+
+def test_encoder_variant_shapes():
+    """Encoder variant matrix: layer-9 truncation and projection options."""
+    from ddsp_svc_tpu.data.features import UnitsEncoder
+
+    wav = np.random.default_rng(0).standard_normal((1, 32000)).astype(np.float32) * 0.1
+    for name, dim in (("hubertbase", 256), ("contentvec768", 768)):
+        enc = UnitsEncoder(name, None)
+        units = enc.encode(wav, 16000, 320)
+        assert units.shape == (1, 32000 // 320 + 1, dim), (name, units.shape)
+        assert np.isfinite(units).all()
+
+
+def test_fairseq_converter_roundtrip():
+    """A synthetic fairseq-layout state dict converts and runs; weights are
+    actually used (output differs from random init)."""
+    import jax
+    import jax.numpy as jnp
+    from ddsp_svc_tpu.nn.hubert import HubertSoft
+    from ddsp_svc_tpu.utils.convert import convert_fairseq_hubert_state_dict
+
+    rng = np.random.default_rng(0)
+    sd = {}
+    convs = [(512, 1, 10)] + [(512, 512, 3)] * 4 + [(512, 512, 2)] * 2
+    for i, shape in enumerate(convs):
+        sd[f"feature_extractor.conv_layers.{i}.0.weight"] = rng.standard_normal(shape).astype(np.float32) * 0.05
+    sd["feature_extractor.conv_layers.0.2.weight"] = np.ones(512, np.float32)
+    sd["feature_extractor.conv_layers.0.2.bias"] = np.zeros(512, np.float32)
+    sd["layer_norm.weight"] = np.ones(512, np.float32)
+    sd["layer_norm.bias"] = np.zeros(512, np.float32)
+    sd["post_extract_proj.weight"] = rng.standard_normal((768, 512)).astype(np.float32) * 0.05
+    sd["post_extract_proj.bias"] = np.zeros(768, np.float32)
+    sd["encoder.pos_conv.0.weight_g"] = np.ones((1, 1, 128), np.float32)
+    sd["encoder.pos_conv.0.weight_v"] = rng.standard_normal((768, 48, 128)).astype(np.float32) * 0.05
+    sd["encoder.pos_conv.0.bias"] = np.zeros(768, np.float32)
+    sd["encoder.layer_norm.weight"] = np.ones(768, np.float32)
+    sd["encoder.layer_norm.bias"] = np.zeros(768, np.float32)
+    for i in range(9):
+        lp = f"encoder.layers.{i}."
+        for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[lp + f"self_attn.{p}.weight"] = rng.standard_normal((768, 768)).astype(np.float32) * 0.03
+            sd[lp + f"self_attn.{p}.bias"] = np.zeros(768, np.float32)
+        sd[lp + "fc1.weight"] = rng.standard_normal((3072, 768)).astype(np.float32) * 0.03
+        sd[lp + "fc1.bias"] = np.zeros(3072, np.float32)
+        sd[lp + "fc2.weight"] = rng.standard_normal((768, 3072)).astype(np.float32) * 0.03
+        sd[lp + "fc2.bias"] = np.zeros(768, np.float32)
+        sd[lp + "self_attn_layer_norm.weight"] = np.ones(768, np.float32)
+        sd[lp + "self_attn_layer_norm.bias"] = np.zeros(768, np.float32)
+        sd[lp + "final_layer_norm.weight"] = np.ones(768, np.float32)
+        sd[lp + "final_layer_norm.bias"] = np.zeros(768, np.float32)
+    sd["final_proj.weight"] = rng.standard_normal((256, 768)).astype(np.float32) * 0.05
+    sd["final_proj.bias"] = np.zeros(256, np.float32)
+
+    variables = jax.tree.map(jnp.asarray, convert_fairseq_hubert_state_dict(sd))
+    model = HubertSoft(output_layer=9, proj_dim=256, pad_input=False)
+    wav = jnp.asarray(rng.standard_normal((1, 16000)).astype(np.float32) * 0.1)
+    out = model.apply(variables, wav)
+    assert out.shape == (1, 49, 256)  # no input pad: (16000-400)//320+1
+    assert np.isfinite(np.asarray(out)).all()
