@@ -44,7 +44,9 @@ def main():
     n_frames = 512  # ~5.9 s of audio per item
     b = 2
 
-    rng = np.random.default_rng(0)
+    # seed from wall clock: the execution relay content-addresses dispatches,
+    # so repeated runs with identical inputs would measure cache hits
+    rng = np.random.default_rng(time.time_ns() % (2**32))
     units = jnp.asarray(rng.standard_normal((b, n_frames, n_unit)).astype(np.float32))
     f0 = jnp.asarray((110.0 + 300.0 * rng.random((b, n_frames, 1))).astype(np.float32))
     volume = jnp.asarray(rng.random((b, n_frames)).astype(np.float32))
@@ -68,19 +70,26 @@ def main():
 
     fwd = jax.jit(full)
 
-    # the execution relay caches identical dispatches — vary inputs per call
+    # vary inputs per call too (same caching concern within the run)
     variants = [
         (units + 0.01 * i, noise * (1.0 - 0.001 * i)) for i in range(1, 11)
     ]
-    out = fwd(variables, nsf.variables, units, f0, volume, spk_id, noise, rand_ini)
-    jax.block_until_ready(out)  # compile + warmup
+
+    def run(u, n):
+        out = fwd(variables, nsf.variables, u, f0, volume, spk_id, n, rand_ini)
+        # force real execution: block_until_ready alone is not a reliable
+        # barrier on relayed/experimental backends — read a scalar back
+        return float(jnp.sum(out))
+
+    run(units, noise)  # compile + warmup
 
     n_iters = len(variants)
     st = time.perf_counter()
+    acc = 0.0
     for u, n in variants:
-        out = fwd(variables, nsf.variables, u, f0, volume, spk_id, n, rand_ini)
-        jax.block_until_ready(out)
+        acc += run(u, n)
     dt = time.perf_counter() - st
+    assert np.isfinite(acc)
 
     audio_seconds = n_iters * b * n_frames * block / sr
     rtf = audio_seconds / dt

@@ -31,7 +31,9 @@ class NsfHifiGAN:
     (sibling config.json, models.py:24-39) or a converted flax checkpoint."""
 
     def __init__(self, model_path: Optional[str], h: Optional[dict] = None,
-                 variables=None):
+                 variables=None, dtype=None):
+        """dtype: compute dtype for the generator (e.g. jnp.bfloat16 for 2x
+        MXU throughput; params stay fp32)."""
         if model_path is not None:
             config_file = os.path.join(os.path.dirname(model_path), "config.json")
             with open(config_file) as f:
@@ -48,6 +50,7 @@ class NsfHifiGAN:
             resblock_dilation_sizes=tuple(
                 tuple(d) for d in h["resblock_dilation_sizes"]
             ),
+            dtype=dtype,
         )
         if variables is not None:
             self.variables = variables

@@ -69,6 +69,7 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3, 5)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -77,13 +78,13 @@ class ResBlock1(nn.Module):
             xt = _leaky(x)
             xt = nn.Conv(
                 self.channels, (self.kernel_size,), kernel_dilation=(d,),
-                padding=((pad, pad),), name=f"conv1_{i}",
+                padding=((pad, pad),), name=f"conv1_{i}", dtype=self.dtype,
             )(xt)
             xt = _leaky(xt)
             pad1 = (self.kernel_size - 1) // 2
             xt = nn.Conv(
                 self.channels, (self.kernel_size,),
-                padding=((pad1, pad1),), name=f"conv2_{i}",
+                padding=((pad1, pad1),), name=f"conv2_{i}", dtype=self.dtype,
             )(xt)
             x = xt + x
         return x
@@ -97,6 +98,7 @@ class ConvTranspose1dTorch(nn.Module):
     kernel_size: int
     stride: int
     padding: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -106,6 +108,10 @@ class ConvTranspose1dTorch(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (k, in_ch, self.features)
         )  # stored flipped-ready: (k, in, out)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
         out = jax.lax.conv_general_dilated(
             x.transpose(0, 2, 1)[:, :, :],  # (B, C, T)
             jnp.flip(kernel, 0).transpose(2, 1, 0),  # (out, in, k)
@@ -127,6 +133,7 @@ class Generator(nn.Module):
     upsample_initial_channel: int
     resblock_kernel_sizes: Sequence[int]
     resblock_dilation_sizes: Sequence[Sequence[int]]
+    dtype: object = None  # compute dtype, e.g. jnp.bfloat16 (params stay fp32)
 
     @nn.compact
     def __call__(
@@ -135,11 +142,16 @@ class Generator(nn.Module):
         """mel :: (B, F, num_mels); f0_frames :: (B, F); rand_ini :: (B, 9).
         Returns (B, F*prod(upsample_rates))."""
         upp = int(np.prod(self.upsample_rates))
+        # sine source stays fp32: phase accuracy matters
         sine = sine_source(f0_frames, upp, self.sampling_rate, rand_ini)
         har = jnp.tanh(nn.Dense(1, name="source_linear")(sine))  # (B, T, 1)
+        if self.dtype is not None:
+            har = har.astype(self.dtype)
+            mel = mel.astype(self.dtype)
 
         x = nn.Conv(
-            self.upsample_initial_channel, (7,), padding=((3, 3),), name="conv_pre"
+            self.upsample_initial_channel, (7,), padding=((3, 3),),
+            name="conv_pre", dtype=self.dtype,
         )(mel)
         n_up = len(self.upsample_rates)
         n_kernels = len(self.resblock_kernel_sizes)
@@ -149,27 +161,30 @@ class Generator(nn.Module):
             ch = self.upsample_initial_channel // (2 ** (i + 1))
             x = _leaky(x)
             x = ConvTranspose1dTorch(
-                ch, k, u, (k - u) // 2, name=f"up_{i}"
+                ch, k, u, (k - u) // 2, name=f"up_{i}", dtype=self.dtype
             )(x)
             if i + 1 < n_up:
                 stride_f0 = int(np.prod(self.upsample_rates[i + 1 :]))
                 xs_src = nn.Conv(
                     ch, (stride_f0 * 2,), strides=(stride_f0,),
                     padding=((stride_f0 // 2, stride_f0 // 2),),
-                    name=f"noise_conv_{i}",
+                    name=f"noise_conv_{i}", dtype=self.dtype,
                 )(har)
             else:
-                xs_src = nn.Conv(ch, (1,), name=f"noise_conv_{i}")(har)
+                xs_src = nn.Conv(ch, (1,), name=f"noise_conv_{i}",
+                                 dtype=self.dtype)(har)
             x = x + xs_src[:, : x.shape[1], :]
             xs = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
                 r = ResBlock1(
-                    ch, rk, tuple(rd), name=f"resblock_{i}_{j}"
+                    ch, rk, tuple(rd), name=f"resblock_{i}_{j}",
+                    dtype=self.dtype,
                 )(x)
                 xs = r if xs is None else xs + r
             x = xs / n_kernels
         x = _leaky(x, 0.01)  # final leaky_relu uses torch default slope (models.py:272)
-        x = nn.Conv(1, (7,), padding=((3, 3),), name="conv_post")(x)
-        return jnp.tanh(x)[..., 0]
+        x = nn.Conv(1, (7,), padding=((3, 3),), name="conv_post",
+                    dtype=self.dtype)(x)
+        return jnp.tanh(x.astype(jnp.float32))[..., 0]
