@@ -151,6 +151,31 @@ class Slicer:
         return {str(i): c for i, c in enumerate(chunks)}
 
 
+def cut(audio_path: str, db_thresh: float = -30, min_len: int = 5000):
+    """Slice a wav file by silence (slicer.py:114-122 parity).
+    Returns the chunk dict at native sample rate."""
+    from .wavio import load_audio
+
+    audio, sr = load_audio(audio_path, sr=None)
+    slicer = Slicer(sr=sr, threshold=db_thresh, min_length=min_len)
+    return slicer.slice(audio)
+
+
+def chunks2audio(audio_path: str, chunks: Dict[str, dict]):
+    """Materialize (is_silence, samples) segments from a chunk dict
+    (slicer.py:125-136 parity)."""
+    from .wavio import load_audio
+
+    chunks = dict(chunks)
+    audio, sr = load_audio(audio_path, sr=None, mono=True)
+    result = []
+    for v in chunks.values():
+        tag = v["split_time"].split(",")
+        if tag[0] != tag[1]:
+            result.append((v["slice"], audio[int(tag[0]): int(tag[1])]))
+    return result, sr
+
+
 def split_segments(audio: np.ndarray, sr: int, hop_size: int, db_thresh: float = -60.0):
     """Silence-split a waveform into (start_frame, chunk) segments
     (main.py:34-47 parity: frame-aligned starts)."""

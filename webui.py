@@ -66,6 +66,7 @@ batch size: <input name=batch_size value=24><br>
 <h3>2. Pipeline</h3>
 <button name=action value=preprocess>Run preprocessing</button>
 <button name=action value=train>Start training</button>
+<button name=action value=tensorboard>Launch TensorBoard</button>
 <h3>3. Inference</h3>
 model: <input name=model value=exp/webui/model_best.ckpt>
 input: <input name=input value=samples/source.wav>
@@ -114,6 +115,11 @@ class Handler(BaseHTTPRequestHandler):
             msg = launch_job("preprocess", ["python", "preprocess.py", "-c", "configs/opt.yaml"])
         elif action == "train":
             msg = launch_job("train", ["python", "train.py", "-c", "configs/opt.yaml"])
+        elif action == "tensorboard":
+            msg = launch_job(
+                "tensorboard",
+                ["tensorboard", "--logdir", get("expdir", "exp"), "--port", "6006"],
+            )
         elif action == "infer":
             msg = launch_job(
                 "infer",
