@@ -117,6 +117,16 @@ def run_inference(
     volume = VolumeExtractor(hop_size).extract(audio)[None, :]
     mask = response_mask(volume[0], threshold_db, args.data.block_size)
 
+    n_spk = int(args.model.n_spk or 1)
+    if spk_mix_dict is not None:
+        bad = [k for k in spk_mix_dict if not (1 <= int(k) <= n_spk)]
+        if bad:
+            raise ValueError(
+                f" [x] spk_mix_dict ids {bad} out of range [1, {n_spk}]"
+            )
+    elif not (1 <= int(spk_id) <= n_spk):
+        # out-of-range embedding lookups would silently produce NaN audio
+        raise ValueError(f" [x] spk_id {spk_id} out of range [1, {n_spk}]")
     spk_id_arr = np.asarray([[int(spk_id)]], dtype=np.int64)
     units_encoder = UnitsEncoder(
         args.data.encoder, args.data.encoder_ckpt,
