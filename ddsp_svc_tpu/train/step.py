@@ -52,23 +52,36 @@ def create_train_state(
 
 
 def make_train_step(
-    model, loss_fn: Callable, optimizer: optax.GradientTransformation
+    model,
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    remat: bool = False,
 ) -> Callable:
-    """Returns jitted (state, batch, rng) -> (state, loss)."""
+    """Returns jitted (state, batch, rng) -> (state, loss).
+
+    remat=True rematerializes the forward during backprop (jax.checkpoint):
+    trades FLOPs for HBM, enabling long-crop / large-batch training."""
+
+    def forward(params, constants, units, f0, volume, spk_id, rng_noise):
+        signal, _, _ = model.apply(
+            {"params": params, "constants": constants},
+            units, f0, volume, spk_id,
+            infer=False,
+            rngs={"noise": rng_noise},
+        )
+        return signal
+
+    if remat:
+        forward = jax.checkpoint(forward)
 
     def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, jnp.ndarray]:
         step_rng = jax.random.fold_in(rng, state.step)
         rng_noise, rng_loss = jax.random.split(step_rng)
 
         def loss_of(params):
-            signal, _, _ = model.apply(
-                {"params": params, "constants": state.constants},
-                batch["units"],
-                batch["f0"],
-                batch["volume"],
-                batch["spk_id"],
-                infer=False,
-                rngs={"noise": rng_noise},
+            signal = forward(
+                params, state.constants, batch["units"], batch["f0"],
+                batch["volume"], batch["spk_id"], rng_noise,
             )
             return loss_fn(signal, batch["audio"], rng_loss)
 
