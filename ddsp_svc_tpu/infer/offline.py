@@ -137,6 +137,9 @@ def run_inference(
         print("Enhancer type: " + str(args.enhancer.type))
         enhancer = Enhancer(args.enhancer.type, args.enhancer.ckpt)
 
+    from ..models.factory import make_jitted_synth
+
+    synth = make_jitted_synth(model, variables, spk_mix_dict=spk_mix_dict)
     segments = split(audio, sr_i, hop_size)
     print(f"Cut the input audio into {len(segments)} slices")
     result = np.zeros(0)
@@ -149,12 +152,7 @@ def run_inference(
         seg_f0 = f0[:, start_frame: start_frame + n_f, :]
         seg_volume = volume[:, start_frame: start_frame + n_f]
         seg_rng = jax.random.fold_in(rng, i)
-        seg_out = model.apply(
-            variables, jnp.asarray(seg_units), jnp.asarray(seg_f0),
-            jnp.asarray(seg_volume), jnp.asarray(spk_id_arr),
-            spk_mix_dict=spk_mix_dict, infer=True, rngs={"noise": seg_rng},
-        )[0]
-        seg_out = np.asarray(seg_out)
+        seg_out = synth(seg_units, seg_f0, seg_volume, spk_id_arr, seg_rng)
         bs = args.data.block_size
         seg_out = seg_out * mask[:, start_frame * bs: (start_frame + n_f) * bs]
 

@@ -88,6 +88,19 @@ class SvcCore:
             except FileNotFoundError:
                 self.enhancer = None
         self._step = 0
+        self._synth_cache: Dict = {}
+
+    def _synth(self, spk_mix_dict):
+        """Bucketed jitted synth per spk-mix configuration (eager
+        model.apply would dispatch op-by-op on remote backends)."""
+        from ..models.factory import make_jitted_synth
+
+        key = tuple(sorted(spk_mix_dict.items())) if spk_mix_dict else None
+        if key not in self._synth_cache:
+            self._synth_cache[key] = make_jitted_synth(
+                self.model, self.variables, spk_mix_dict=spk_mix_dict
+            )
+        return self._synth_cache[key]
 
     def infer(
         self,
@@ -121,17 +134,15 @@ class SvcCore:
 
         self._step += 1
         rng = jax.random.key(self._step)
-        out = self.model.apply(
-            self.variables,
-            jnp.asarray(units),
-            jnp.asarray(f0.astype(np.float32)),
-            jnp.asarray(volume[None, :].astype(np.float32)),
-            jnp.asarray([[int(spk_id)]], dtype=jnp.int64),
-            spk_mix_dict=spk_mix_dict if use_spk_mix else None,
-            infer=True,
-            rngs={"noise": rng},
-        )[0]
-        out = np.asarray(out) * mask[:, : out.shape[-1]]
+        synth = self._synth(spk_mix_dict if use_spk_mix else None)
+        out = synth(
+            units,
+            f0.astype(np.float32),
+            volume[None, :].astype(np.float32),
+            np.asarray([[int(spk_id)]], dtype=np.int64),
+            rng,
+        )
+        out = out * mask[:, : out.shape[-1]]
         if use_enhancer and self.enhancer is not None:
             out, out_sr = self.enhancer.enhance(
                 out, self.args.data.sampling_rate, f0, self.args.data.block_size,

@@ -50,6 +50,47 @@ def build_model(args: DotDict) -> nn.Module:
     raise ValueError(f" [x] Unknown Model: {mtype}")
 
 
+def make_jitted_synth(model, variables, spk_mix_dict=None, min_frames: int = 32):
+    """Jitted, shape-bucketed synthesizer forward for inference pipelines.
+
+    Variable-length segments are padded to the next power-of-two frame count
+    (>= min_frames) so repeated calls hit the XLA compile cache — essential
+    on remote-compile backends where eager dispatch is pathologically slow.
+
+    Returns fn(units (1,F,C), f0 (1,F,1), volume (1,F), spk_id (1,1), rng)
+    -> signal (1, F*block) numpy.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    block = int(model.block_size)
+
+    @jax.jit
+    def fwd(units, f0, volume, spk_id, rng):
+        signal, _, _ = model.apply(
+            variables, units, f0, volume, spk_id,
+            spk_mix_dict=spk_mix_dict, infer=True, rngs={"noise": rng},
+        )
+        return signal
+
+    def run(units, f0, volume, spk_id, rng):
+        n = units.shape[1]
+        bucket = max(min_frames, 1 << (int(n) - 1).bit_length())
+        pad = bucket - n
+        if pad:
+            units = np.pad(units, ((0, 0), (0, pad), (0, 0)))
+            f0 = np.pad(f0, ((0, 0), (0, pad), (0, 0)), mode="edge")
+            volume = np.pad(volume, ((0, 0), (0, pad)))
+        out = fwd(
+            jnp.asarray(units), jnp.asarray(f0), jnp.asarray(volume),
+            jnp.asarray(spk_id), rng,
+        )
+        return np.asarray(out)[:, : n * block]
+
+    return run
+
+
 def load_model(model_path: str) -> Tuple[nn.Module, dict, DotDict]:
     """Load (module, variables, args) from a checkpoint; reads the sibling
     config.yaml as the reference does (vocoder.py:343-345)."""
