@@ -39,6 +39,94 @@ from ..ops.windows import hann_window_symmetric
 # ----------------------------- autocorrelation F0 ---------------------------
 
 
+@partial(jax.jit, static_argnames=("sr", "f0_min", "f0_max", "top_k"))
+def _autocorr_candidates(frames, sr: int, f0_min: float, f0_max: float,
+                         top_k: int = 4):
+    """Per-frame pitch candidates for Viterbi tracking.
+
+    frames :: (N, W) -> (freqs (N, K) [Hz], strengths (N, K) in [0, 1]).
+    Candidates are local maxima of the normalized autocorrelation with
+    parabolic lag refinement (Praat's candidate stage).
+    """
+    win = frames.shape[-1]
+    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    w = hann_window_symmetric(win, dtype=frames.dtype)
+    fx = frames * w
+
+    fft_size = next_pow2(2 * win)
+    spec = jnp.fft.rfft(fx, fft_size)
+    r = jnp.fft.irfft(spec * jnp.conj(spec), fft_size)[..., :win]
+    rw = jnp.fft.irfft(jnp.abs(jnp.fft.rfft(w, fft_size)) ** 2, fft_size)[:win]
+    rn = (r / (r[..., :1] + 1e-12)) * (rw[0] / (rw + 1e-12))
+
+    lag_min = max(2, int(math.floor(sr / f0_max)))
+    lag_max = min(win - 2, int(math.ceil(sr / f0_min)))
+    lags = jnp.arange(win)
+    valid = (lags >= lag_min) & (lags <= lag_max)
+    # local maxima only
+    is_peak = (rn > jnp.roll(rn, 1, axis=-1)) & (rn >= jnp.roll(rn, -1, axis=-1))
+    rn_masked = jnp.where(valid[None, :] & is_peak, rn, -jnp.inf)
+    strengths, peaks = jax.lax.top_k(rn_masked, top_k)  # (N, K)
+
+    p0 = jnp.take_along_axis(rn, jnp.maximum(peaks - 1, 0), axis=-1)
+    p1 = jnp.take_along_axis(rn, peaks, axis=-1)
+    p2 = jnp.take_along_axis(rn, jnp.minimum(peaks + 1, win - 1), axis=-1)
+    denom = p0 - 2 * p1 + p2
+    delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (p0 - p2) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    lag = peaks.astype(frames.dtype) + delta
+    freqs = sr / jnp.maximum(lag, 1.0)
+
+    energy = (r[..., :1] / win)
+    silent = energy < 1e-8
+    strengths = jnp.where(
+        jnp.isfinite(strengths) & ~silent, jnp.clip(strengths, 0.0, 1.0), 0.0
+    )
+    return freqs, strengths
+
+
+def _viterbi_track(
+    freqs: np.ndarray,
+    strengths: np.ndarray,
+    voicing_threshold: float = 0.45,
+    octave_jump_cost: float = 0.35,
+    voiced_unvoiced_cost: float = 0.14,
+) -> np.ndarray:
+    """Praat-style best-path search over per-frame candidates + an unvoiced
+    state. Maximizes sum(strength) - transition costs. Returns f0 (N,)
+    with 0 for unvoiced frames."""
+    n, k = freqs.shape
+    # state k == unvoiced, with constant pseudo-strength
+    cand_f = np.concatenate([freqs, np.zeros((n, 1))], axis=1)
+    cand_s = np.concatenate(
+        [strengths, np.full((n, 1), voicing_threshold)], axis=1
+    )
+    ks = k + 1
+    logf = np.where(cand_f > 0, np.log2(np.maximum(cand_f, 1e-6)), 0.0)
+
+    score = cand_s[0].copy()
+    ptr = np.zeros((n, ks), dtype=np.int32)
+    for t in range(1, n):
+        # transition cost matrix (prev ks) x (cur ks)
+        prev_v = cand_f[t - 1] > 0
+        cur_v = cand_f[t] > 0
+        jump = np.abs(logf[t - 1][:, None] - logf[t][None, :])
+        cost = np.where(
+            prev_v[:, None] & cur_v[None, :],
+            octave_jump_cost * jump,
+            np.where(prev_v[:, None] == cur_v[None, :], 0.0, voiced_unvoiced_cost),
+        )
+        total = score[:, None] - cost
+        ptr[t] = np.argmax(total, axis=0)
+        score = total[ptr[t], np.arange(ks)] + cand_s[t]
+
+    path = np.zeros(n, dtype=np.int32)
+    path[-1] = int(np.argmax(score))
+    for t in range(n - 2, -1, -1):
+        path[t] = ptr[t + 1][path[t + 1]]
+    return cand_f[np.arange(n), path].astype(np.float32)
+
+
 @partial(jax.jit, static_argnames=("sr", "f0_min", "f0_max"))
 def _autocorr_f0_frames(frames, sr: int, f0_min: float, f0_max: float):
     """Boersma-style AC pitch. frames :: (N, W) centered windows -> (N,) [Hz]."""
@@ -82,9 +170,9 @@ def _autocorr_f0_frames(frames, sr: int, f0_min: float, f0_max: float):
 
 
 def _autocorr_f0(audio: np.ndarray, sr: int, hop: float, f0_min: float,
-                 f0_max: float, win: int) -> np.ndarray:
+                 f0_max: float, win: int, viterbi: bool = True) -> np.ndarray:
     """Host wrapper: frame (float hop supported), bucket-pad, run the jitted
-    kernel. audio :: (T,) numpy -> (T//hop + 1,) numpy [Hz]."""
+    candidate kernel, Viterbi-track. audio :: (T,) -> (T//hop + 1,) [Hz]."""
     n_frames = int(len(audio) // hop) + 1
     half = win // 2
     x = np.pad(audio, (half, half + win))
@@ -94,6 +182,13 @@ def _autocorr_f0(audio: np.ndarray, sr: int, hop: float, f0_min: float,
     bucket = next_pow2(n_frames)
     if bucket > n_frames:
         frames = np.pad(frames, ((0, bucket - n_frames), (0, 0)))
+    if viterbi:
+        freqs, strengths = _autocorr_candidates(
+            jnp.asarray(frames), sr, float(f0_min), float(f0_max)
+        )
+        return _viterbi_track(
+            np.asarray(freqs)[:n_frames], np.asarray(strengths)[:n_frames]
+        )
     out = np.asarray(
         _autocorr_f0_frames(jnp.asarray(frames), sr, float(f0_min), float(f0_max))
     )

@@ -87,3 +87,44 @@ def test_crepe_architecture_shapes():
     n = 1 + 16000 // 80
     assert f0.shape == (n,) and pd.shape == (n,)
     assert np.isfinite(f0).all() and (pd >= 0).all() and (pd <= 1).all()
+
+
+def test_viterbi_tracking_under_noise():
+    """Viterbi candidate tracking must stay octave-stable on a noisy,
+    harmonically-rich tone where greedy peak-picking octave-hops."""
+    sr, hop = 44100, 512
+    rng = np.random.default_rng(0)
+    t = np.arange(int(sr * 2.0)) / sr
+    f0_hz = 220.0
+    # strong even harmonics (octave-confusable) + noise
+    audio = (
+        0.25 * np.sin(2 * np.pi * f0_hz * t)
+        + 0.35 * np.sin(2 * np.pi * 2 * f0_hz * t)
+        + 0.15 * np.sin(2 * np.pi * 3 * f0_hz * t)
+        + 0.05 * rng.standard_normal(len(t))
+    ).astype(np.float32)
+    ext = F0Extractor("dio", sr, hop, 65, 800)
+    f0 = ext.extract(audio)
+    mid = f0[10:-10]
+    voiced = mid[mid > 0]
+    assert len(voiced) > 0.9 * len(mid)
+    # no octave errors: all voiced frames near 220 (not 110/440)
+    octave_err = np.abs(np.log2(voiced / f0_hz)) > 0.4
+    assert octave_err.mean() < 0.05, octave_err.mean()
+    rel = np.abs(voiced[~octave_err] - f0_hz) / f0_hz
+    assert np.median(rel) < 0.02
+
+
+def test_viterbi_voiced_unvoiced_transitions():
+    sr, hop = 44100, 512
+    t = np.arange(int(sr * 0.8)) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    sil = np.zeros(int(sr * 0.4), dtype=np.float32)
+    audio = np.concatenate([sil, tone, sil, tone, sil])
+    ext = F0Extractor("harvest", sr, hop, 65, 800)
+    f0 = ext.extract(audio)
+    n_sil = len(sil) // hop
+    assert (f0[: n_sil - 2] == 0).all()
+    seg1 = f0[n_sil + 2 : n_sil + len(tone) // hop - 2]
+    assert (seg1 > 0).mean() > 0.9
+    np.testing.assert_allclose(np.median(seg1[seg1 > 0]), 200, rtol=0.02)

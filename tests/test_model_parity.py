@@ -172,3 +172,23 @@ def test_causal_mode_runs():
         jnp.asarray(spk_id), noise=jnp.asarray(noise),
     )
     assert np.isfinite(np.asarray(sig)).all()
+
+
+def test_combsubfast_causal_parity(ref_vocoder):
+    """c=True (streaming) mode: causal convs + causal linear attention vs
+    the reference (its CUDA CausalDotProduct replaced by the exact-math
+    test stub)."""
+    import torch
+
+    torch.manual_seed(5)
+    b, n_frames, block = 1, 16, 512
+    units, f0, volume, spk_id, noise = _random_inputs(5, b, n_frames, block=block)
+    ref_model = ref_vocoder.CombSubFast(44100, block, n_unit=256, n_spk=4, c=True)
+    jax_model = CombSubFast(
+        sampling_rate=44100, block_size=block, n_unit=256, n_spk=4, causal=True
+    )
+    got, ref, _, _ = _run_pair(
+        ref_model, jax_model, (units, f0, volume, spk_id), noise, n_frames, block, torch
+    )
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(got - ref).max() / scale < 2e-3, np.abs(got - ref).max() / scale
