@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark at the reference's production config
+(CombSubFast, 44.1 kHz / hop 512, batch 24, 2 s crops, RSS loss — per
+configs/combsub.yaml). Prints one JSON line with steps/s and
+audio-hours/hour of training throughput.
+
+(The reference publishes only a placeholder "x.x [iter/sec]" — README.md:144.)
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from ddsp_svc_tpu.models import CombSubFast, RSSLoss
+    from ddsp_svc_tpu.train import (
+        create_optimizer, create_train_state, make_train_step,
+    )
+
+    sr, block, n_unit, b = 44100, 512, 256, 24
+    n_frames = int(2.0 * sr / block)  # 2 s crops -> 172 frames
+
+    rng = np.random.default_rng(time.time_ns() % (2**32))
+    batch = {
+        "audio": rng.standard_normal((b, n_frames * block)).astype(np.float32),
+        "units": rng.standard_normal((b, n_frames, n_unit)).astype(np.float32),
+        "f0": (200 * rng.random((b, n_frames, 1))).astype(np.float32),
+        "volume": rng.random((b, n_frames)).astype(np.float32),
+        "spk_id": np.ones((b, 1), dtype=np.int64),
+    }
+    model = CombSubFast(sampling_rate=sr, block_size=block, n_unit=n_unit, n_spk=100)
+    optimizer = create_optimizer(5e-4)
+    rss = RSSLoss(256, 2048, n_scale=4, n_buckets=16)
+    step = make_train_step(model, rss, optimizer)
+    state = create_train_state(model, optimizer, batch, jax.random.key(0))
+
+    rng_key = jax.random.key(1)
+    state, loss = step(state, batch, rng_key)
+    _ = float(loss)  # compile + warmup with forced readback
+
+    n_iters = 20
+    st = time.perf_counter()
+    for i in range(n_iters):
+        # vary one input so the execution relay can't serve cached results
+        batch["volume"] = batch["volume"] + 1e-6
+        state, loss = step(state, batch, rng_key)
+        _ = float(loss)
+    dt = (time.perf_counter() - st) / n_iters
+
+    steps_per_s = 1.0 / dt
+    audio_hours_per_hour = b * (n_frames * block / sr) * steps_per_s * 3600 / 3600
+    print(
+        json.dumps(
+            {
+                "metric": "train_steps_per_s",
+                "value": round(steps_per_s, 3),
+                "unit": "steps/s (batch 24 x 2s @ 44.1kHz)",
+                "audio_sec_per_s": round(audio_hours_per_hour, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
