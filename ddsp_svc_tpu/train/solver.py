@@ -100,10 +100,16 @@ def train(
     loader_train,
     dataset_valid,
     max_steps: Optional[int] = None,
+    batch_transform=None,
 ):
-    """Main loop (solver.py:85-143 parity). Returns final TrainState."""
+    """Main loop (solver.py:85-143 parity). Returns final TrainState.
+
+    batch_transform: optional per-batch hook (e.g. mesh sharding for
+    data-parallel training)."""
     saver = Saver(args, initial_global_step=initial_global_step)
-    train_step = make_train_step(model, rss, optimizer)
+    train_step = make_train_step(
+        model, rss, optimizer, remat=bool(args.train.remat)
+    )
     rng = jax.random.key(int(args.train.seed or 0) if args.train else 0)
 
     best_loss = np.inf
@@ -113,6 +119,8 @@ def train(
         for batch_idx, data in enumerate(loader_train.epoch(epoch)):
             saver.global_step_increment()
             batch = {k: data[k] for k in ("audio", "f0", "volume", "units", "spk_id")}
+            if batch_transform is not None:
+                batch = batch_transform(batch)
             state, loss = train_step(state, batch, rng)
 
             if saver.global_step % args.train.interval_log == 0:

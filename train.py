@@ -28,12 +28,24 @@ def parse_args():
     p = argparse.ArgumentParser(description="Train a DDSP-SVC-TPU model")
     p.add_argument("-c", "--config", type=str, required=True)
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--no-data-parallel", action="store_true",
+                   help="disable automatic DP sharding over local devices")
+    p.add_argument("--n-model", type=int, default=1,
+                   help="tensor-parallel axis size (devices = data x model)")
+    # multi-host (pod) flags: replaces torch's single-GPU env.gpu_id
+    p.add_argument("--coordinator", type=str, default=None)
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
     return p.parse_args()
 
 
 def main():
     cmd = parse_args()
     args = load_config(cmd.config)
+    if cmd.num_processes > 1:
+        from ddsp_svc_tpu.parallel import init_distributed
+
+        init_distributed(cmd.coordinator, cmd.num_processes, cmd.process_id)
     print(" > config:", cmd.config)
     print(" > devices:", jax.devices())
 
@@ -62,6 +74,26 @@ def main():
             opt_state=opt_state if opt_state is not None else state.opt_state,
         )
 
+    # multi-device: shard the state and every batch over a (data, model) mesh
+    batch_transform = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and not cmd.no_data_parallel:
+        from ddsp_svc_tpu.parallel import (
+            make_mesh, shard_batch, shard_train_state,
+        )
+
+        n_model = max(1, cmd.n_model)
+        n_data = n_dev // n_model
+        if int(args.train.batch_size) % n_data != 0:
+            raise SystemExit(
+                f" [x] batch_size {args.train.batch_size} must divide by the "
+                f"data-parallel axis ({n_data})"
+            )
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        print(f" > mesh: data={n_data} x model={n_model}")
+        state = shard_train_state(state, mesh)
+        batch_transform = lambda b: shard_batch(b, mesh)  # noqa: E731
+
     rss = RSSLoss(
         fft_min=int(args.loss.fft_min),
         fft_max=int(args.loss.fft_max),
@@ -70,6 +102,7 @@ def main():
     solver.train(
         args, initial_step, model, state, optimizer, rss,
         loader_train, dataset_valid, max_steps=cmd.max_steps,
+        batch_transform=batch_transform,
     )
 
 
