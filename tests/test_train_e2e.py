@@ -164,3 +164,41 @@ def test_checkpoint_roundtrip(tiny_data, tmp_path):
     state_cont, loss_a = step(state, batch, jax.random.key(1))
     state_rest, loss_b = step(state_rest, batch, jax.random.key(1))
     np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+
+
+def test_single_batch_overfit():
+    """Overfitting one batch must drive the RSS loss far down — catches
+    subtle gradient/loss bugs that unit tests miss."""
+    rng = np.random.default_rng(7)
+    b, n_frames, block, n_unit = 2, 8, 256, 64
+    t = np.arange(n_frames * block) / SR
+    audio = np.stack([
+        0.3 * np.sin(2 * np.pi * 220 * t),
+        0.3 * np.sin(2 * np.pi * 260 * t),
+    ]).astype(np.float32)
+    batch = {
+        "audio": audio,
+        "units": rng.standard_normal((b, n_frames, n_unit)).astype(np.float32),
+        "f0": np.stack([
+            np.full((n_frames, 1), 220.0), np.full((n_frames, 1), 260.0)
+        ]).astype(np.float32),
+        "volume": np.full((b, n_frames), 0.2, dtype=np.float32),
+        "spk_id": np.asarray([[1], [2]], dtype=np.int64),
+    }
+    from ddsp_svc_tpu.models import CombSubFast
+
+    model = CombSubFast(sampling_rate=SR, block_size=block, n_unit=n_unit, n_spk=2)
+    optimizer = create_optimizer(3e-3)
+    state = create_train_state(model, optimizer, batch, jax.random.key(0))
+    rss = RSSLoss(128, 512, n_scale=2, n_buckets=4)
+    step = make_train_step(model, rss, optimizer)
+    rng_key = jax.random.key(0)
+    first = None
+    for i in range(150):
+        state, loss = step(state, batch, rng_key)
+        if i == 0:
+            first = float(loss)
+    last = float(loss)
+    assert np.isfinite(last)
+    assert last < 0.5 * first, (first, last)
+    assert last < 3.5, (first, last)
