@@ -183,6 +183,42 @@ class BatchIterator:
             } | {"name": [it["name"] for it in items]}
 
 
+class PrefetchIterator:
+    """Background-thread batch prefetch (the role of the reference's
+    DataLoader workers/pin_memory, data_loaders.py:15-22): assembles the
+    next batches on a host thread while the device runs the current step."""
+
+    def __init__(self, inner: BatchIterator, depth: int = 2):
+        self.inner = inner
+        self.depth = depth
+
+    def __len__(self) -> int:
+        return len(self.inner)
+
+    def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self.inner.epoch(epoch_idx):
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+
+
 def get_data_loaders(args, whole_audio: bool = False):
     """(train BatchIterator, valid AudioDataset) from config
     (data_loaders.py:12-24 parity)."""
@@ -210,4 +246,8 @@ def get_data_loaders(args, whole_audio: bool = False):
     loader_train = BatchIterator(
         data_train, batch_size=int(args.train.batch_size), seed=0
     )
+    if int(args.train.num_workers or 0) > 0:
+        loader_train = PrefetchIterator(
+            loader_train, depth=int(args.train.num_workers)
+        )
     return loader_train, data_valid

@@ -202,3 +202,18 @@ def test_single_batch_overfit():
     assert np.isfinite(last)
     assert last < 0.5 * first, (first, last)
     assert last < 3.5, (first, last)
+
+
+def test_prefetch_iterator_equivalence(tiny_data):
+    """PrefetchIterator must yield the same batches as the plain iterator."""
+    from ddsp_svc_tpu.data.dataset import PrefetchIterator, get_data_loaders
+
+    args = _args(tiny_data)
+    loader, _ = get_data_loaders(args)
+    pre = PrefetchIterator(loader, depth=2)
+    a = list(loader.epoch(3))
+    b = list(pre.epoch(3))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        for k in ("audio", "units", "f0", "volume", "spk_id"):
+            np.testing.assert_array_equal(x[k], y[k])
