@@ -18,7 +18,7 @@ power-of-two frame count) so repeated calls hit the compile cache.
 from __future__ import annotations
 
 import math
-from functools import lru_cache, partial
+from functools import partial
 from typing import Optional
 
 import numpy as np

@@ -7,8 +7,6 @@ matmuls (last dim = 128-lane axis).
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

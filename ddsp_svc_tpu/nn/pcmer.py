@@ -22,7 +22,6 @@ TPU-native notes:
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import numpy as np
 import jax

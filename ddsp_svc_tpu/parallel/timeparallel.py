@@ -18,8 +18,6 @@ The model code stays single-program; no manual collectives to maintain.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

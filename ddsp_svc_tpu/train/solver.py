@@ -15,7 +15,6 @@ from typing import Optional
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from .saver import Saver
 from .step import TrainState, make_train_step, make_eval_step
