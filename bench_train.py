@@ -33,7 +33,7 @@ def main():
     }
     model = CombSubFast(sampling_rate=sr, block_size=block, n_unit=n_unit, n_spk=100)
     optimizer = create_optimizer(5e-4)
-    rss = RSSLoss(256, 2048, n_scale=4, n_buckets=16)
+    rss = RSSLoss(256, 2048, n_scale=4, n_buckets=8)
     step = make_train_step(model, rss, optimizer)
     state = create_train_state(model, optimizer, batch, jax.random.key(0))
 
