@@ -104,6 +104,53 @@ class TransformerLayer(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + y)
 
 
+def compute_mask(
+    rng: jax.Array,
+    shape: tuple,
+    mask_prob: float = 0.8,
+    mask_length: int = 10,
+    min_masks: int = 2,
+) -> jnp.ndarray:
+    """SpecAugment-style span mask (model.py:186-238 parity; train-time
+    masking for HuBERT fine-tuning). Returns bool (B, T)."""
+    b, t = shape
+    if mask_length > t:
+        raise ValueError("mask_length must be <= sequence_length")
+    rng_n, rng_idx = jax.random.split(rng)
+    num_spans = int(mask_prob * t / mask_length + 0.5)
+    num_spans = max(min(num_spans, t // mask_length), min_masks)
+    starts = jax.random.randint(
+        rng_idx, (b, num_spans), 0, t - mask_length + 1
+    )
+    idx = starts[..., None] + jnp.arange(mask_length)[None, None, :]
+    mask = jnp.zeros((b, t), dtype=bool)
+    return mask.at[
+        jnp.arange(b)[:, None, None], idx
+    ].set(True)
+
+
+class HubertDiscrete:
+    """Discrete-units variant: layer-7 features quantized by k-means
+    (model.py:87-97; unused by the SVC pipeline but part of the encoder
+    family). The k-means codebook loads from the reference's torch
+    checkpoint dict ({n_features_in_, cluster_centers_})."""
+
+    def __init__(self, variables, cluster_centers):
+        import numpy as _np
+
+        self.model = HubertSoft(output_layer=7, proj_dim=None)
+        self.variables = variables
+        self.centers = _np.asarray(cluster_centers, dtype=_np.float32)
+
+    def units(self, wav) -> "jnp.ndarray":
+        import numpy as _np
+
+        x = self.model.apply(self.variables, wav)  # (B, F, 768)
+        feats = _np.asarray(x).reshape(-1, x.shape[-1])
+        d = ((feats[:, None, :] - self.centers[None, :, :]) ** 2).sum(-1)
+        return d.argmin(axis=1).reshape(x.shape[0], x.shape[1])
+
+
 class HubertSoft(nn.Module):
     """HuBERT-family encoder; __call__ == reference HubertSoft.units.
 

@@ -114,3 +114,32 @@ def test_fairseq_converter_roundtrip():
     out = model.apply(variables, wav)
     assert out.shape == (1, 49, 256)  # no input pad: (16000-400)//320+1
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_compute_mask_properties():
+    import jax
+    from ddsp_svc_tpu.nn.hubert import compute_mask
+
+    mask = compute_mask(jax.random.key(0), (4, 100), mask_prob=0.8, mask_length=10)
+    m = np.asarray(mask)
+    assert m.shape == (4, 100) and m.dtype == bool
+    # masked fraction in a sane band and spans contiguous by construction
+    frac = m.mean(axis=1)
+    assert (frac > 0.05).all() and (frac <= 0.85).all(), frac
+
+
+def test_hubert_discrete_units():
+    import jax
+    import jax.numpy as jnp
+    from ddsp_svc_tpu.nn.hubert import HubertSoft, HubertDiscrete
+
+    model = HubertSoft(output_layer=7, proj_dim=None)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 3200)))
+    centers = np.random.default_rng(0).standard_normal((100, 768)).astype(np.float32)
+    hd = HubertDiscrete(variables, centers)
+    wav = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 16000)).astype(np.float32) * 0.1
+    )
+    units = hd.units(wav)
+    assert units.shape[0] == 1 and units.shape[1] > 0
+    assert (units >= 0).all() and (units < 100).all()
