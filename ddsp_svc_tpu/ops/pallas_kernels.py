@@ -94,6 +94,88 @@ def oscillator_bank_pallas(
     return out[:n_rows].reshape(b, t)
 
 
+# ----------------------- magnitude STFT as MXU DFT --------------------------
+#
+# The multi-resolution spectral loss evaluates |STFT| at sizes 128..2048 every
+# training step. XLA lowers FFTs to the VPU; at these sizes the same transform
+# expressed as a real DFT matmul runs on the MXU instead. The kernel tiles
+# (frames x n_fft) @ (n_fft x freq_tile) with cos/sin weight blocks streamed
+# through VMEM and fuses the magnitude. Backward is provided via custom_vjp
+# (two transposed matmuls, left to XLA).
+
+
+def _dft_mag_kernel(frames_ref, cos_ref, sin_ref, out_ref):
+    f = frames_ref[:, :]  # (FT, N)
+    c = cos_ref[:, :]  # (N, KT)
+    s = sin_ref[:, :]
+    re = jnp.dot(f, c, preferred_element_type=jnp.float32)
+    im = -jnp.dot(f, s, preferred_element_type=jnp.float32)
+    out_ref[:, :] = jnp.sqrt(re * re + im * im + 1e-12)
+
+
+def _dft_mag_fwd_impl(frames: jnp.ndarray, n_fft: int, interpret: bool) -> jnp.ndarray:
+    from .spectral import _dft_matrices
+
+    nf, n = frames.shape
+    assert n == n_fft
+    bins = n_fft // 2 + 1
+    cos_np, sin_np = _dft_matrices(n_fft)
+    kt = 128
+    bins_pad = ((bins + kt - 1) // kt) * kt
+    cos = jnp.asarray(np.pad(cos_np, ((0, 0), (0, bins_pad - bins))))
+    sin = jnp.asarray(np.pad(sin_np, ((0, 0), (0, bins_pad - bins))))
+    ft = 128
+    nf_pad = ((nf + ft - 1) // ft) * ft
+    if nf_pad != nf:
+        frames = jnp.pad(frames, ((0, nf_pad - nf), (0, 0)))
+    out = pl.pallas_call(
+        _dft_mag_kernel,
+        out_shape=jax.ShapeDtypeStruct((nf_pad, bins_pad), jnp.float32),
+        grid=(nf_pad // ft, bins_pad // kt),
+        in_specs=[
+            pl.BlockSpec((ft, n_fft), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, kt), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, kt), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ft, kt), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(frames, cos, sin)
+    return out[:nf, :bins]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def dft_magnitude_pallas(frames, n_fft: int, interpret: bool = False):
+    """|rfft(frames, n_fft)| as an MXU matmul. frames :: (F, n_fft)."""
+    return _dft_mag_fwd_impl(frames, n_fft, interpret)
+
+
+def _dft_mag_vjp_fwd(frames, n_fft, interpret):
+    mag = _dft_mag_fwd_impl(frames, n_fft, interpret)
+    return mag, (frames, mag)
+
+
+def _dft_mag_vjp_bwd(n_fft, interpret, res, g):
+    from .spectral import _dft_matrices
+
+    frames, mag = res
+    cos_np, sin_np = _dft_matrices(n_fft)
+    cos = jnp.asarray(cos_np)
+    sin = jnp.asarray(sin_np)
+    re = frames @ cos
+    im = -(frames @ sin)
+    inv = g / jnp.maximum(mag, 1e-12)
+    # d|X|/dframes = (re * C^T - im * S^T) / |X|
+    g_frames = (inv * re) @ cos.T - (inv * im) @ sin.T
+    return (g_frames,)
+
+
+dft_magnitude_pallas.defvjp(_dft_mag_vjp_fwd, _dft_mag_vjp_bwd)
+
+
 def oscillator_bank_auto(
     phase: jnp.ndarray, amplitudes_frames: jnp.ndarray, block_size: int,
     harmonic_chunk: int = 32,

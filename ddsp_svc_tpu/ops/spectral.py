@@ -155,6 +155,17 @@ def stft(
     return rfft(frames, n_fft)
 
 
+# magnitude backend: 'fft' (jnp.fft) or 'mxu' (Pallas DFT matmul — lands the
+# transform on the systolic array; see ops/pallas_kernels.dft_magnitude_pallas)
+_MAG_BACKEND = "fft"
+
+
+def set_mag_backend(mode: str) -> None:
+    global _MAG_BACKEND
+    assert mode in ("fft", "mxu"), mode
+    _MAG_BACKEND = mode
+
+
 def spectrogram(
     x: jnp.ndarray,
     n_fft: int,
@@ -170,8 +181,18 @@ def spectrogram(
     """
     hop = n_fft if hop is None else hop
     win = hann_window(n_fft, dtype=x.dtype)
-    spec = stft(x, n_fft, hop, win, center=center)
-    mag = jnp.abs(spec)
+    if _MAG_BACKEND == "mxu":
+        from .pallas_kernels import dft_magnitude_pallas
+
+        frames = frame_signal(x, n_fft, hop) * win  # (B, F, n)
+        b, f, n = frames.shape
+        mag = dft_magnitude_pallas(
+            frames.reshape(b * f, n), n_fft,
+            jax.default_backend() in ("cpu", "gpu"),
+        ).reshape(b, f, n_fft // 2 + 1)
+    else:
+        spec = stft(x, n_fft, hop, win, center=center)
+        mag = jnp.abs(spec)
     if power != 1.0:
         mag = mag ** power
     if normalized:  # torchaudio 'window' normalization
