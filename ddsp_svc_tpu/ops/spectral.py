@@ -155,15 +155,23 @@ def stft(
     return rfft(frames, n_fft)
 
 
-# magnitude backend: 'fft' (jnp.fft) or 'mxu' (Pallas DFT matmul — lands the
-# transform on the systolic array; see ops/pallas_kernels.dft_magnitude_pallas)
-_MAG_BACKEND = "fft"
+# magnitude backend: 'fft' (jnp.fft), 'mxu' (Pallas DFT matmul — lands the
+# transform on the systolic array), or 'auto' (mxu on TPU: handles the
+# arbitrary non-power-of-2 sizes the RSS loss draws, which the TPU FFT op
+# rejects as UNIMPLEMENTED; fft elsewhere).
+_MAG_BACKEND = "auto"
 
 
 def set_mag_backend(mode: str) -> None:
     global _MAG_BACKEND
-    assert mode in ("fft", "mxu"), mode
+    assert mode in ("fft", "mxu", "auto"), mode
     _MAG_BACKEND = mode
+
+
+def _resolve_mag_backend() -> str:
+    if _MAG_BACKEND != "auto":
+        return _MAG_BACKEND
+    return "mxu" if jax.default_backend() not in ("cpu", "gpu") else "fft"
 
 
 def spectrogram(
@@ -181,7 +189,7 @@ def spectrogram(
     """
     hop = n_fft if hop is None else hop
     win = hann_window(n_fft, dtype=x.dtype)
-    if _MAG_BACKEND == "mxu":
+    if _resolve_mag_backend() == "mxu":
         from .pallas_kernels import dft_magnitude_pallas
 
         frames = frame_signal(x, n_fft, hop) * win  # (B, F, n)
