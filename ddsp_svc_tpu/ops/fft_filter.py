@@ -65,7 +65,12 @@ def _frequency_impulse_response(
 
     magnitudes :: (B, Frame, n_mags) complex (or real) half-spectrum.
     """
-    ir = jnp.fft.irfft(magnitudes)
+    from .spectral import irfft_any
+
+    n_ir = 2 * (magnitudes.shape[-1] - 1)
+    # n_ir is typically non-power-of-two (e.g. 510 for 256 mags) — route
+    # through the TPU-safe transform
+    ir = irfft_any(magnitudes.astype(jnp.complex64), n_ir)
     if hann_windowed:
         if half_width_frames is None:
             ir = _apply_window_to_impulse_response(ir)

@@ -75,6 +75,31 @@ def rfft(x: jnp.ndarray, n: int) -> jnp.ndarray:
     return jax.lax.complex(re, im)
 
 
+def rfft_any(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """rfft that stays TPU-compatible for arbitrary n (the TPU FFT op only
+    implements power-of-two sizes; others go through the DFT matmul path)."""
+    if _FFT_MODE == "fft" and (n & (n - 1)) == 0:
+        return jnp.fft.rfft(x, n)
+    mode = _FFT_MODE
+    try:
+        set_fft_mode("dft")
+        return rfft(x, n)
+    finally:
+        set_fft_mode(mode)
+
+
+def irfft_any(X: jnp.ndarray, n: int) -> jnp.ndarray:
+    """irfft (complex half-spectrum -> real) for arbitrary n; see rfft_any."""
+    if _FFT_MODE == "fft" and (n & (n - 1)) == 0:
+        return jnp.fft.irfft(X, n)
+    mode = _FFT_MODE
+    try:
+        set_fft_mode("dft")
+        return irfft(X, n)
+    finally:
+        set_fft_mode(mode)
+
+
 def irfft(X: jnp.ndarray, n: int) -> jnp.ndarray:
     if _FFT_MODE == "fft":
         return jnp.fft.irfft(X, n)
