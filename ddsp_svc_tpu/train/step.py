@@ -34,13 +34,21 @@ def create_optimizer(lr: float, weight_decay: float = 0.0) -> optax.GradientTran
 def create_train_state(
     model, optimizer: optax.GradientTransformation, example_batch: Dict, rng
 ) -> TrainState:
-    variables = model.init(
-        {"params": rng, "noise": jax.random.fold_in(rng, 1)},
+    # init must run under jit: eager init dispatches every op separately,
+    # which is pathological (and can hit op gaps) on remote backends
+    @jax.jit
+    def _init(rng, units, f0, volume, spk_id):
+        return model.init(
+            {"params": rng, "noise": jax.random.fold_in(rng, 1)},
+            units, f0, volume, spk_id, infer=False,
+        )
+
+    variables = _init(
+        rng,
         example_batch["units"],
         example_batch["f0"],
         example_batch["volume"],
         example_batch["spk_id"],
-        infer=False,
     )
     params = variables["params"]
     return TrainState(
