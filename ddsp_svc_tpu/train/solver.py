@@ -20,6 +20,26 @@ from .saver import Saver
 from .step import TrainState, make_train_step, make_eval_step
 
 
+def _pad_batch_to_bucket(batch: dict, block_size: int) -> tuple:
+    """Pad a whole-utterance batch to the next power-of-two frame count so
+    validation shapes hit the jit cache (variable-length utterances would
+    otherwise compile one program per file). Returns (padded, true_frames)."""
+    n = batch["f0"].shape[1]
+    bucket = 1 << (int(n) - 1).bit_length()
+    pad = bucket - n
+    if pad == 0:
+        return batch, n
+    out = dict(batch)
+    out["units"] = np.pad(batch["units"], ((0, 0), (0, pad), (0, 0)))
+    out["f0"] = np.pad(batch["f0"], ((0, 0), (0, pad), (0, 0)), mode="edge")
+    out["volume"] = np.pad(batch["volume"], ((0, 0), (0, pad)))
+    t_pad = bucket * block_size - batch["audio"].shape[1]
+    out["audio"] = np.pad(batch["audio"], ((0, 0), (0, max(t_pad, 0))))[
+        :, : bucket * block_size
+    ]
+    return out, n
+
+
 def test(args, model, state: TrainState, rss, dataset_valid, saver: Saver):
     """Validation: reconstruction + VC forward per utterance; returns mean loss."""
     eval_step = make_eval_step(model, rss.mss)
@@ -46,22 +66,24 @@ def test(args, model, state: TrainState, rss, dataset_valid, saver: Saver):
             "units": data["units"][None],
             "spk_id": data["spk_id"][None],
         }
+        true_len = batch["audio"].shape[1]
+        batch, true_frames = _pad_batch_to_bucket(batch, int(args.data.block_size))
         # reconstruction + RTF
         st = time.time()
         signal, loss = eval_step(
             state.params, state.constants, batch, jax.random.key(42)
         )
-        signal = jax.block_until_ready(signal)
+        signal = np.asarray(signal)[:, :true_len]  # forces completion
         run_time = time.time() - st
-        song_time = batch["audio"].shape[-1] / args.data.sampling_rate
+        song_time = true_len / args.data.sampling_rate
         rtf = run_time / song_time
         saver.log_info(f"{bidx}/{num} - {name} RTF: {rtf:.4f} | {run_time:.3f} / {song_time:.3f}")
         rtf_all.append(rtf)
         test_loss += float(loss)
 
         audio_logs = {
-            f"{name}/gt.wav": batch["audio"][0],
-            f"{name}/pred.wav": np.asarray(signal)[0],
+            f"{name}/gt.wav": batch["audio"][0][:true_len],
+            f"{name}/pred.wav": signal[0],
         }
 
         # VC forward with speaker mean-log-f0 transposition
@@ -79,7 +101,9 @@ def test(args, model, state: TrainState, rss, dataset_valid, saver: Saver):
                 vc_sig, _ = eval_step(
                     state.params, state.constants, vc_batch, jax.random.key(43)
                 )
-                audio_logs[f"{name}/vc_{src_spk}_to_{tgt_spk}.wav"] = np.asarray(vc_sig)[0]
+                audio_logs[f"{name}/vc_{src_spk}_to_{tgt_spk}.wav"] = (
+                    np.asarray(vc_sig)[0][:true_len]
+                )
 
         saver.log_audio(audio_logs)
 
