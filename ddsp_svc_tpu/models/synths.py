@@ -135,6 +135,7 @@ class CombSubFast(nn.Module):
     n_unit: int = 256
     n_spk: int = 1
     causal: bool = False
+    frame_norm: bool = False  # frame-local prenet norm (exactly streamable)
 
     def setup(self):
         self.unit2ctrl = Unit2Control(
@@ -146,6 +147,7 @@ class CombSubFast(nn.Module):
                 "noise_magnitude": self.block_size + 1,
             },
             self.causal,
+            frame_norm=self.frame_norm,
         )
 
     def __call__(

@@ -64,6 +64,31 @@ class GroupNorm(nn.Module):
         return xg.reshape(b, t, c) * scale + bias
 
 
+class FrameGroupNorm(nn.Module):
+    """GroupNorm with *frame-local* statistics: normalize each frame's
+    channel groups independently (no reduction over time).
+
+    torch/reference GroupNorm reduces over (C//G, T) — which makes even the
+    'causal' model depend on future frames (docs/PARITY.md). Models built
+    with frame_norm=True are exactly streamable: see models/incremental.py.
+    """
+
+    num_groups: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, c = x.shape
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        xg = x.reshape(b, t, g, c // g)
+        mean = jnp.mean(xg, axis=3, keepdims=True)
+        var = jnp.mean((xg - mean) ** 2, axis=3, keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return xg.reshape(b, t, c) * scale + bias
+
+
 class LayerNorm(nn.Module):
     """LayerNorm with torch eps (1e-5)."""
 

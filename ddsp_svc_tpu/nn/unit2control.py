@@ -16,7 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import Conv1d, GroupNorm, WeightNormDense, leaky_relu
+from .layers import Conv1d, GroupNorm, FrameGroupNorm, WeightNormDense, leaky_relu
 from .pcmer import PCmer
 
 
@@ -40,6 +40,7 @@ class Unit2Control(nn.Module):
     ndim_feat: int = 256
     num_layers: int = 3
     num_heads: int = 8
+    frame_norm: bool = False  # frame-local prenet norm (exactly streamable)
 
     @nn.compact
     def __call__(
@@ -66,7 +67,8 @@ class Unit2Control(nn.Module):
 
         # PreNet
         x = Conv1d(d, 3, causal=self.causal, name="prenet_conv0")(units)
-        x = GroupNorm(4, name="prenet_gn")(x)
+        norm_cls = FrameGroupNorm if self.frame_norm else GroupNorm
+        x = norm_cls(4, name="prenet_gn")(x)
         x = leaky_relu(x)
         x = Conv1d(d, 3, causal=self.causal, name="prenet_conv1")(x)
 
