@@ -32,6 +32,7 @@ def preprocess(
     gen_stats: bool = False,
     n_aunit: int = 0,
     use_vuv: bool = False,
+    num_workers: int = 4,
 ) -> None:
     path_srcdir = os.path.join(path, "audio")
     path_unitsdir = os.path.join(path, "units")
@@ -43,7 +44,8 @@ def preprocess(
 
     rel_wavs = traverse_dir(path_srcdir, extension="wav", is_pure=True, is_ext=True)
     print(f"Preprocess the audio clips in: {path_srcdir} ({len(rel_wavs)} files)")
-    for rel_wav in rel_wavs:
+
+    def process_one(rel_wav):
         rel_bin = rel_wav[: -len(".wav")] + ".npy"
         path_srcfile = os.path.join(path_srcdir, rel_wav)
         path_f0file = os.path.join(path_f0dir, rel_bin)
@@ -77,6 +79,17 @@ def preprocess(
             os.makedirs(os.path.dirname(path_skipfile), exist_ok=True)
             shutil.move(path_srcfile, os.path.dirname(path_skipfile))
             print(f"This file has been moved to {path_skipfile}")
+
+    if num_workers > 1 and len(rel_wavs) > 1:
+        # host-side work (wav decode, resample, native f0) overlaps across
+        # threads; jitted device calls serialize on the device naturally
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_workers) as ex:
+            list(ex.map(process_one, rel_wavs))
+    else:
+        for rel_wav in rel_wavs:
+            process_one(rel_wav)
 
     if gen_stats:
         stats = {}
