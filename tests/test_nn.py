@@ -112,3 +112,39 @@ def test_training_gradients_flow():
     leaves = jax.tree.leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     assert any(np.abs(np.asarray(g)).max() > 0 for g in leaves)
+
+
+def test_make_jitted_synth_bucketing():
+    """Bucket-padded jitted synth must match the direct forward on the
+    unpadded length (padding uses edge f0, zero units/volume; the causal
+    region is unaffected... for non-causal attention normalization the sums
+    include pad frames, so require close, not bitwise)."""
+    from ddsp_svc_tpu.models import CombSubFast
+    from ddsp_svc_tpu.models.factory import make_jitted_synth
+
+    rng = np.random.default_rng(9)
+    bs, n_frames, n_unit = 256, 24, 64  # pads to 32-frame bucket
+    model = CombSubFast(sampling_rate=16000, block_size=bs, n_unit=n_unit,
+                        n_spk=2, causal=True, frame_norm=True)
+    units = rng.standard_normal((1, n_frames, n_unit)).astype(np.float32)
+    f0 = (200 * rng.random((1, n_frames, 1)) + 80).astype(np.float32)
+    vol = rng.random((1, n_frames)).astype(np.float32)
+    spk = np.ones((1, 1), dtype=np.int64)
+    noise = (rng.random((1, n_frames * bs)) * 2 - 1).astype(np.float32)
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.asarray(units), jnp.asarray(f0),
+        jnp.asarray(vol), jnp.asarray(spk), noise=jnp.asarray(noise),
+    )
+    # direct jitted forward with the same rng stream and padding
+    rngkey = jax.random.key(5)
+    ref_fn = jax.jit(lambda u, f, v, s_, r: model.apply(
+        variables, u, f, v, s_, infer=True, rngs={"noise": r})[0])
+    ref = np.asarray(ref_fn(
+        jnp.asarray(np.pad(units, ((0,0),(0,8),(0,0)))),
+        jnp.asarray(np.pad(f0, ((0,0),(0,8),(0,0)), mode="edge")),
+        jnp.asarray(np.pad(vol, ((0,0),(0,8)))),
+        jnp.asarray(spk), rngkey,
+    ))[:, : n_frames * bs]
+    synth = make_jitted_synth(model, variables)
+    got = synth(units, f0, vol, spk, rngkey)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
