@@ -21,6 +21,13 @@ from ddsp_svc_tpu.utils.config import load_config, save_config, deep_update
 
 JOBS = {}
 JOB_LOCK = threading.Lock()
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def _resolve(path):
+    """Relative paths are relative to the repo root, wherever the server
+    process was started from."""
+    return path if os.path.isabs(path) else os.path.join(REPO_ROOT, path)
 
 
 def launch_job(name, cmd_args):
@@ -47,8 +54,9 @@ def job_status():
 
 def generate_config(base_config, overrides, out_path="configs/opt.yaml"):
     """Derive a training config from a template (webui.py:77-91 parity)."""
-    base = load_config(base_config).to_dict()
+    base = load_config(_resolve(base_config)).to_dict()
     cfg = deep_update(base, overrides)
+    out_path = _resolve(out_path)
     save_config(out_path, cfg)
     return out_path
 
@@ -100,6 +108,14 @@ class Handler(BaseHTTPRequestHandler):
         get = lambda k, d="": form.get(k, [d])[0]
         action = get("action")
         msg = ""
+        try:
+            msg = self._run_action(action, get)
+        except Exception as exc:  # report, don't drop the connection
+            msg = f"error: {exc!r}"
+        self._respond(msg)
+
+    def _run_action(self, action, get):
+        msg = ""
         if action == "genconfig":
             path = generate_config(
                 get("base", "configs/combsub.yaml"),
@@ -126,7 +142,7 @@ class Handler(BaseHTTPRequestHandler):
                 ["python", "main.py", "-m", get("model"), "-i", get("input"),
                  "-o", get("output"), "-k", get("key", "0"), "-id", get("spk", "1")],
             )
-        self._respond(msg)
+        return msg
 
     def log_message(self, *a):
         pass
