@@ -5,14 +5,17 @@ configs/combsub.yaml). Prints one JSON line with steps/s and
 audio-hours/hour of training throughput.
 
 (The reference publishes only a placeholder "x.x [iter/sec]" — README.md:144.)
+
+--bf16 runs the PCmer decoder in bf16 (mixed precision; DSP/loss/params fp32).
 """
+import argparse
 import json
 import time
 
 import numpy as np
 
 
-def main():
+def main(bf16: bool = False):
     import jax
 
     from ddsp_svc_tpu.models import CombSubFast, RSSLoss
@@ -31,7 +34,9 @@ def main():
         "volume": rng.random((b, n_frames)).astype(np.float32),
         "spk_id": np.ones((b, 1), dtype=np.int64),
     }
-    model = CombSubFast(sampling_rate=sr, block_size=block, n_unit=n_unit, n_spk=100)
+    model = CombSubFast(
+        sampling_rate=sr, block_size=block, n_unit=n_unit, n_spk=100, bf16=bf16
+    )
     optimizer = create_optimizer(5e-4)
     rss = RSSLoss(256, 2048, n_scale=4, n_buckets=8)
     step = make_train_step(model, rss, optimizer)
@@ -55,7 +60,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train_steps_per_s",
+                "metric": "train_steps_per_s" + ("_bf16" if bf16 else ""),
                 "value": round(steps_per_s, 3),
                 "unit": "steps/s (batch 24 x 2s @ 44.1kHz)",
                 "audio_sec_per_s": round(audio_hours_per_hour, 1),
@@ -65,4 +70,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    p = argparse.ArgumentParser()
+    p.add_argument("--bf16", action="store_true")
+    main(bf16=p.parse_args().bf16)

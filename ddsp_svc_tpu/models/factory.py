@@ -27,6 +27,7 @@ def build_model(args: DotDict) -> nn.Module:
             n_unit=args.data.encoder_out_channels,
             n_spk=args.model.n_spk,
             causal=bool(args.model.c),
+            bf16=bool(args.model.bf16),
         )
     if mtype == "CombSub":
         return CombSub(
@@ -38,6 +39,7 @@ def build_model(args: DotDict) -> nn.Module:
             n_unit=args.data.encoder_out_channels,
             n_spk=args.model.n_spk,
             causal=bool(args.model.c),
+            bf16=bool(args.model.bf16),
         )
     if mtype == "CombSubFast":
         return CombSubFast(
@@ -46,6 +48,8 @@ def build_model(args: DotDict) -> nn.Module:
             n_unit=args.data.encoder_out_channels,
             n_spk=args.model.n_spk,
             causal=bool(args.model.c),
+            frame_norm=bool(args.model.frame_norm),
+            bf16=bool(args.model.bf16),
         )
     raise ValueError(f" [x] Unknown Model: {mtype}")
 

@@ -53,6 +53,7 @@ class Sins(nn.Module):
     n_unit: int = 256
     n_spk: int = 1
     causal: bool = False
+    bf16: bool = False  # bf16 PCmer decoder compute (DSP/params stay fp32)
 
     def setup(self):
         self.unit2ctrl = Unit2Control(
@@ -64,6 +65,7 @@ class Sins(nn.Module):
                 "noise_magnitude": self.n_mag_noise,
             },
             self.causal,
+            compute_dtype=jnp.bfloat16 if self.bf16 else None,
         )
 
     def __call__(
@@ -136,6 +138,7 @@ class CombSubFast(nn.Module):
     n_spk: int = 1
     causal: bool = False
     frame_norm: bool = False  # frame-local prenet norm (exactly streamable)
+    bf16: bool = False  # bf16 PCmer decoder compute (DSP/params stay fp32)
 
     def setup(self):
         self.unit2ctrl = Unit2Control(
@@ -148,6 +151,7 @@ class CombSubFast(nn.Module):
             },
             self.causal,
             frame_norm=self.frame_norm,
+            compute_dtype=jnp.bfloat16 if self.bf16 else None,
         )
 
     def __call__(
@@ -220,6 +224,7 @@ class CombSub(nn.Module):
     n_unit: int = 256
     n_spk: int = 1
     causal: bool = False
+    bf16: bool = False  # bf16 PCmer decoder compute (DSP/params stay fp32)
 
     def setup(self):
         self.unit2ctrl = Unit2Control(
@@ -231,6 +236,7 @@ class CombSub(nn.Module):
                 "noise_magnitude": self.n_mag_noise,
             },
             self.causal,
+            compute_dtype=jnp.bfloat16 if self.bf16 else None,
         )
 
     def __call__(

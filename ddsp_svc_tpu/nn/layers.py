@@ -26,6 +26,7 @@ class Conv1d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     stride: int = 1
+    dtype: object = None  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -41,6 +42,7 @@ class Conv1d(nn.Module):
             padding=(pad,),
             feature_group_count=self.groups,
             use_bias=self.use_bias,
+            dtype=self.dtype,
         )(x)
 
 

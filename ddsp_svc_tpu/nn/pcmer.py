@@ -18,6 +18,12 @@ TPU-native notes:
     seed, and baked into the graph as a constant (the reference's
     redraw_projection_matrix is never called during training either —
     pcmer.py:203-207). Redraw = rebuild the module with a new seed.
+  - Mixed precision: `compute_dtype=jnp.bfloat16` runs the matmuls (QKV/out
+    projections, random-feature projection, attention contractions, conv
+    module) in bf16 on the MXU while keeping every numerically sensitive
+    piece in fp32: LayerNorms, the FAVOR+ exponentials, attention
+    denominators, the causal scan's carried prefix state, and the residual
+    stream. Params always stay fp32 (flax `dtype` casts at apply time only).
 """
 from __future__ import annotations
 
@@ -68,12 +74,17 @@ def softmax_kernel(
     data :: (B, H, T, d); projection :: (m, d) -> (B, H, T, m)
     """
     d = data.shape[-1]
+    out_dtype = data.dtype
     data_normalizer = d ** -0.25 if normalize_data else 1.0
     ratio = projection.shape[0] ** -0.5
     data_dash = jnp.einsum(
         "bhid,jd->bhij", data_normalizer * data, projection.astype(data.dtype)
     )
-    diag_data = jnp.sum(data * data, axis=-1) * 0.5 * (data_normalizer ** 2)
+    # exponentials and their stabilization always run in fp32 (a bf16
+    # compute dtype only affects the projection matmul above)
+    data_dash = data_dash.astype(jnp.float32)
+    data32 = data.astype(jnp.float32)
+    diag_data = jnp.sum(data32 * data32, axis=-1) * 0.5 * (data_normalizer ** 2)
     diag_data = diag_data[..., None]
     if is_query:
         out = ratio * (
@@ -86,15 +97,19 @@ def softmax_kernel(
         )
     else:
         out = ratio * jnp.exp(data_dash - diag_data + eps)
-    return out
+    return out.astype(out_dtype)
 
 
 def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Non-causal linear attention (pcmer.py:69-77). q,k :: (B,H,T,m); v :: (B,H,T,d)."""
-    k_sum = jnp.sum(k, axis=-2)
-    d_inv = 1.0 / (jnp.einsum("...nd,...d->...n", q, k_sum) + 1e-8)
+    k_sum = jnp.sum(k.astype(jnp.float32), axis=-2)
+    d_inv = 1.0 / (
+        jnp.einsum("...nd,...d->...n", q.astype(jnp.float32), k_sum) + 1e-8
+    )
     context = jnp.einsum("...nd,...ne->...de", k, v)
-    return jnp.einsum("...de,...nd,...n->...ne", context, q, d_inv)
+    return jnp.einsum(
+        "...de,...nd,...n->...ne", context, q, d_inv.astype(q.dtype)
+    )
 
 
 def causal_linear_attention(
@@ -126,22 +141,39 @@ def causal_linear_attention(
     causal_mask = jnp.tril(jnp.ones((chunk, chunk), dtype=q.dtype))
 
     def body(carry, inp):
-        s_prev, ksum_prev = carry  # (B,H,m,d), (B,H,m)
+        # the carried prefix state and key-sum accumulate in fp32 even under
+        # a bf16 compute dtype: they grow with T and bf16's 8-bit mantissa
+        # would drop late contributions
+        s_prev, ksum_prev = carry  # (B,H,m,d), (B,H,m) fp32
         qi, ki, vi = inp
         attn = jnp.einsum("bhim,bhjm->bhij", qi, ki) * causal_mask
         num = jnp.einsum("bhij,bhjd->bhid", attn, vi) + jnp.einsum(
-            "bhim,bhmd->bhid", qi, s_prev
+            "bhim,bhmd->bhid", qi, s_prev.astype(qi.dtype)
         )
-        k_cum = jnp.cumsum(ki, axis=-2) + ksum_prev[:, :, None, :]
-        denom = jnp.einsum("bhim,bhim->bhi", qi, k_cum + eps)
-        out = num / denom[..., None]
-        s_new = s_prev + jnp.einsum("bhjm,bhjd->bhmd", ki, vi)
-        ksum_new = ksum_prev + jnp.sum(ki, axis=-2)
+        k_cum = (
+            jnp.cumsum(ki.astype(jnp.float32), axis=-2)
+            + ksum_prev[:, :, None, :]
+        )
+        denom = jnp.einsum(
+            "bhim,bhim->bhi", qi.astype(jnp.float32), k_cum + eps
+        )
+        # chunk-padding guard: padded tail positions have q == k == 0, so
+        # denom == 0 there. The raw 0/0 is sliced away in the forward, but
+        # the division VJP (-num*g/denom^2) would still emit NaN gradients
+        # (a tiny clamp does not help: clamp^2 underflows fp32 to 0). Route
+        # padded positions through a benign denominator instead — real
+        # positions always have denom > 0 (FAVOR+ features are positive).
+        safe = jnp.where(denom > 0, denom, 1.0)
+        out = (num.astype(jnp.float32) / safe[..., None]).astype(qi.dtype)
+        s_new = s_prev + jnp.einsum("bhjm,bhjd->bhmd", ki, vi).astype(
+            jnp.float32
+        )
+        ksum_new = ksum_prev + jnp.sum(ki.astype(jnp.float32), axis=-2)
         return (s_new, ksum_new), out
 
     init = (
-        jnp.zeros((b, h, m, d), dtype=q.dtype),
-        jnp.zeros((b, h, m), dtype=q.dtype),
+        jnp.zeros((b, h, m, d), dtype=jnp.float32),
+        jnp.zeros((b, h, m), dtype=jnp.float32),
     )
     _, outs = jax.lax.scan(body, init, (qc, kc, vc))
     out = outs.transpose(1, 2, 0, 3, 4).reshape(b, h, -1, d)
@@ -156,9 +188,11 @@ class SelfAttention(nn.Module):
     dim_head: int = 64
     causal: bool = False
     proj_seed: int = 0
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_dtype = x.dtype
         inner = self.dim_head * self.heads
         nb_features = int(self.dim_head * math.log(self.dim_head))
         # The projection lives in the 'constants' collection: excluded from
@@ -173,9 +207,9 @@ class SelfAttention(nn.Module):
             ),
         )
         projection = proj_var.value
-        q = nn.Dense(inner, name="to_q")(x)
-        k = nn.Dense(inner, name="to_k")(x)
-        v = nn.Dense(inner, name="to_v")(x)
+        q = nn.Dense(inner, name="to_q", dtype=self.compute_dtype)(x)
+        k = nn.Dense(inner, name="to_k", dtype=self.compute_dtype)(x)
+        v = nn.Dense(inner, name="to_v", dtype=self.compute_dtype)(x)
 
         def split_heads(t):
             b, n, _ = t.shape
@@ -190,7 +224,8 @@ class SelfAttention(nn.Module):
             out = linear_attention(q, k, v)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
-        return nn.Dense(self.dim, name="to_out")(out)
+        out = nn.Dense(self.dim, name="to_out", dtype=self.compute_dtype)(out)
+        return out.astype(in_dtype)
 
 
 class ConformerConvModule(nn.Module):
@@ -201,19 +236,22 @@ class ConformerConvModule(nn.Module):
     causal: bool = False
     expansion_factor: int = 2
     kernel_size: int = 31
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_dtype = x.dtype
         inner = self.dim * self.expansion_factor
-        x = nn.LayerNorm(epsilon=1e-5)(x)
-        x = nn.Dense(inner * 2)(x)
+        x = nn.LayerNorm(epsilon=1e-5)(x)  # stats in fp32
+        x = nn.Dense(inner * 2, dtype=self.compute_dtype)(x)
         x = glu(x, axis=-1)
         x = Conv1d(
-            inner, self.kernel_size, causal=self.causal, groups=inner
+            inner, self.kernel_size, causal=self.causal, groups=inner,
+            dtype=self.compute_dtype,
         )(x)
         x = jax.nn.silu(x)
-        x = nn.Dense(self.dim)(x)
-        return x
+        x = nn.Dense(self.dim, dtype=self.compute_dtype)(x)
+        return x.astype(in_dtype)
 
 
 class PCmerLayer(nn.Module):
@@ -223,6 +261,7 @@ class PCmerLayer(nn.Module):
     heads: int
     causal: bool = False
     proj_seed: int = 0
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -231,10 +270,12 @@ class PCmerLayer(nn.Module):
             heads=self.heads,
             causal=self.causal,
             proj_seed=self.proj_seed,
+            compute_dtype=self.compute_dtype,
             name="attn",
         )(nn.LayerNorm(epsilon=1e-5, name="norm")(x))
         x = x + ConformerConvModule(
-            dim=self.dim, causal=self.causal, name="conv"
+            dim=self.dim, causal=self.causal,
+            compute_dtype=self.compute_dtype, name="conv"
         )(x)
         return x
 
@@ -246,6 +287,7 @@ class PCmer(nn.Module):
     num_heads: int
     dim_model: int
     causal: bool = False
+    compute_dtype: object = None  # e.g. jnp.bfloat16; residuals stay fp32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -255,6 +297,7 @@ class PCmer(nn.Module):
                 heads=self.num_heads,
                 causal=self.causal,
                 proj_seed=i,
+                compute_dtype=self.compute_dtype,
                 name=f"layer_{i}",
             )(x)
         return x

@@ -41,6 +41,7 @@ class Unit2Control(nn.Module):
     num_layers: int = 3
     num_heads: int = 8
     frame_norm: bool = False  # frame-local prenet norm (exactly streamable)
+    compute_dtype: object = None  # e.g. jnp.bfloat16 for the PCmer decoder
 
     @nn.compact
     def __call__(
@@ -99,6 +100,7 @@ class Unit2Control(nn.Module):
             num_heads=self.num_heads,
             dim_model=d,
             causal=self.causal,
+            compute_dtype=self.compute_dtype,
             name="decoder",
         )(x)
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)

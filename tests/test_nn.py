@@ -148,3 +148,23 @@ def test_make_jitted_synth_bucketing():
     synth = make_jitted_synth(model, variables)
     got = synth(units, f0, vol, spk, rngkey)
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_causal_linear_attention_grads_finite_with_chunk_padding():
+    """Regression: T not a multiple of the scan chunk pads q/k/v with zeros;
+    the padded positions' 0-denominator division must not leak NaN into the
+    k/v gradients through the division VJP."""
+    from ddsp_svc_tpu.nn.pcmer import causal_linear_attention
+
+    rng = np.random.default_rng(0)
+    b, h, t, m, d = 2, 4, 32, 266, 64  # t << default chunk of 128
+    q = jnp.asarray(np.abs(rng.standard_normal((b, h, t, m))).astype(np.float32)) * 1e-3 + 1e-6
+    k = jnp.asarray(np.abs(rng.standard_normal((b, h, t, m))).astype(np.float32)) * 1e-3 + 1e-6
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+
+    grads = jax.grad(
+        lambda q, k, v: jnp.sum(causal_linear_attention(q, k, v) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for name, g in zip("qkv", grads):
+        assert np.isfinite(np.asarray(g)).all(), f"nonfinite grad wrt {name}"
