@@ -9,7 +9,9 @@ checkpoints are portable across hosts and safe to load.
 from __future__ import annotations
 
 import os
+import queue
 import re
+import threading
 from typing import Any, Optional, Tuple
 
 import numpy as np
@@ -17,10 +19,10 @@ import jax
 from flax import serialization
 
 
-def save_checkpoint(
-    path: str, step: int, variables: dict, opt_state: Any = None
-) -> None:
-    payload = {
+def _host_payload(step: int, variables: dict, opt_state: Any = None) -> dict:
+    """Snapshot device arrays to host numpy. Must run on the caller's thread
+    *before* the next donated train step reuses the buffers."""
+    return {
         "global_step": np.asarray(step, dtype=np.int64),
         "model": serialization.to_state_dict(jax.device_get(variables["params"])),
         "constants": serialization.to_state_dict(
@@ -30,12 +32,74 @@ def save_checkpoint(
         if opt_state is not None
         else {},
     }
+
+
+def _write_payload(path: str, payload: dict) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     blob = serialization.msgpack_serialize(payload)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)
+
+
+def save_checkpoint(
+    path: str, step: int, variables: dict, opt_state: Any = None
+) -> None:
+    _write_payload(path, _host_payload(step, variables, opt_state))
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint encoding + disk writes with training.
+
+    `save` snapshots device arrays to host synchronously (required: the
+    jitted train step donates its buffers, so values must leave the device
+    before the next step), then hands msgpack encoding and the atomic file
+    write to a worker thread. At most `max_pending` writes queue before
+    `save` blocks. Call `wait()` to drain (end of training, or before
+    reading a just-written checkpoint back); worker errors re-raise there.
+    """
+
+    def __init__(self, max_pending: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=max_pending)
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._worker, name="ckpt-writer", daemon=True
+        )
+        self._thread.start()
+
+    def _worker(self) -> None:
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                path, payload = item
+                _write_payload(path, payload)
+            except BaseException as e:  # surfaced on the next save()/wait()
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def _check(self) -> None:
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("async checkpoint write failed") from err
+
+    def save(
+        self, path: str, step: int, variables: dict, opt_state: Any = None
+    ) -> None:
+        self._check()
+        self._q.put((path, _host_payload(step, variables, opt_state)))
+
+    def wait(self) -> None:
+        self._q.join()
+        self._check()
+
+    def close(self) -> None:
+        self.wait()
+        self._q.put(None)
+        self._thread.join()
 
 
 def _load_payload(path: str) -> dict:

@@ -16,7 +16,7 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 from ..utils.config import DotDict, save_config
-from .checkpoint import save_checkpoint
+from .checkpoint import AsyncCheckpointer, save_checkpoint
 
 
 class Saver:
@@ -26,6 +26,10 @@ class Saver:
         self.global_step = initial_global_step
         self.init_time = time.time()
         self.last_time = time.time()
+        # train.async_save: true -> overlap checkpoint writes with training
+        self._async_ckpt = (
+            AsyncCheckpointer() if bool(args.train.async_save) else None
+        )
 
         os.makedirs(self.expdir, exist_ok=True)
         self.path_log_info = os.path.join(self.expdir, "log_info.txt")
@@ -96,5 +100,14 @@ class Saver:
         name = f"model_{postfix}.ckpt" if postfix else "model.ckpt"
         path = os.path.join(self.expdir, name)
         self.log_info(f" [*] model checkpoint saved: {path}")
-        save_checkpoint(path, self.global_step, variables, opt_state)
+        if self._async_ckpt is not None:
+            self._async_ckpt.save(path, self.global_step, variables, opt_state)
+        else:
+            save_checkpoint(path, self.global_step, variables, opt_state)
         return path
+
+    def finish(self) -> None:
+        """Drain pending async checkpoint writes (call at end of training)."""
+        if self._async_ckpt is not None:
+            self._async_ckpt.close()
+            self._async_ckpt = None

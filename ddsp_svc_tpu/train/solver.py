@@ -174,5 +174,7 @@ def train(
                     best_loss = test_loss
 
             if max_steps is not None and saver.global_step >= initial_global_step + max_steps:
+                saver.finish()
                 return state, saver
+    saver.finish()
     return state, saver

@@ -217,3 +217,44 @@ def test_prefetch_iterator_equivalence(tiny_data):
     for x, y in zip(a, b):
         for k in ("audio", "units", "f0", "volume", "spk_id"):
             np.testing.assert_array_equal(x[k], y[k])
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    """AsyncCheckpointer must produce byte-identical checkpoints to the sync
+    writer, survive rapid back-to-back saves, and surface worker errors."""
+    from ddsp_svc_tpu.train.checkpoint import (
+        AsyncCheckpointer, restore_checkpoint, save_checkpoint,
+    )
+
+    rng = np.random.default_rng(0)
+    variables = {
+        "params": {"w": rng.standard_normal((64, 64)).astype(np.float32),
+                   "b": rng.standard_normal((64,)).astype(np.float32)},
+        "constants": {"proj": rng.standard_normal((8, 8)).astype(np.float32)},
+    }
+    sync_path = str(tmp_path / "sync.ckpt")
+    save_checkpoint(sync_path, 7, variables)
+
+    ac = AsyncCheckpointer()
+    paths = []
+    for i in range(5):  # exceed max_pending to exercise back-pressure
+        p = str(tmp_path / f"async_{i}.ckpt")
+        ac.save(p, 7, variables)
+        paths.append(p)
+    ac.wait()
+    with open(sync_path, "rb") as f:
+        ref = f.read()
+    for p in paths:
+        with open(p, "rb") as f:
+            assert f.read() == ref
+
+    step, got, _ = restore_checkpoint(paths[0])
+    assert step == 7
+    np.testing.assert_array_equal(got["params"]["w"], variables["params"]["w"])
+
+    # a failing write (parent path is a regular file) must raise on wait()
+    (tmp_path / "blocker").write_bytes(b"")
+    ac.save(str(tmp_path / "blocker" / "x.ckpt"), 1, variables)
+    with pytest.raises(RuntimeError):
+        ac.wait()
+    ac.close()
