@@ -19,33 +19,44 @@ import numpy as np
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
     """Read a WAV file. Returns (audio :: (T,) or (C, T) float32 in [-1,1], sr)."""
     with open(path, "rb") as f:
-        header = f.read(12)
-        if header[:4] != b"RIFF" or header[8:12] != b"WAVE":
-            raise ValueError(f"not a RIFF/WAVE file: {path}")
-        fmt = None
-        data = None
-        while True:
-            chunk_hdr = f.read(8)
-            if len(chunk_hdr) < 8:
-                break
-            cid, size = struct.unpack("<4sI", chunk_hdr)
-            if cid == b"fmt ":
-                fmt = f.read(size)
-                if size % 2:
-                    f.read(1)
-            elif cid == b"data":
-                data = f.read(size)
-                if size % 2:
-                    f.read(1)
-            else:
-                f.seek(size + (size % 2), 1)
-        if fmt is None or data is None:
-            raise ValueError(f"missing fmt/data chunk: {path}")
-        audio_format, n_channels, sr, _, _, bits = struct.unpack(
-            "<HHIIHH", fmt[:16]
-        )
-        if audio_format == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
-            audio_format = struct.unpack("<H", fmt[24:26])[0]
+        return _read_wav_stream(f, name=path)
+
+
+def read_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
+    """Read WAV from an in-memory byte string (HTTP request bodies)."""
+    import io
+
+    return _read_wav_stream(io.BytesIO(data), name="<bytes>")
+
+
+def _read_wav_stream(f, name: str = "<stream>") -> Tuple[np.ndarray, int]:
+    header = f.read(12)
+    if header[:4] != b"RIFF" or header[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE file: {name}")
+    fmt = None
+    data = None
+    while True:
+        chunk_hdr = f.read(8)
+        if len(chunk_hdr) < 8:
+            break
+        cid, size = struct.unpack("<4sI", chunk_hdr)
+        if cid == b"fmt ":
+            fmt = f.read(size)
+            if size % 2:
+                f.read(1)
+        elif cid == b"data":
+            data = f.read(size)
+            if size % 2:
+                f.read(1)
+        else:
+            f.seek(size + (size % 2), 1)
+    if fmt is None or data is None:
+        raise ValueError(f"missing fmt/data chunk: {name}")
+    audio_format, n_channels, sr, _, _, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
+        audio_format = struct.unpack("<H", fmt[24:26])[0]
 
     if audio_format == 1:  # PCM
         if bits == 16:
@@ -77,6 +88,12 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
 
 def write_wav(path: str, audio: np.ndarray, sr: int, subtype: str = "PCM_16") -> None:
     """Write mono/stereo WAV. subtype: 'PCM_16' or 'FLOAT'."""
+    with open(path, "wb") as f:
+        f.write(wav_bytes(audio, sr, subtype=subtype))
+
+
+def wav_bytes(audio: np.ndarray, sr: int, subtype: str = "PCM_16") -> bytes:
+    """Encode audio as in-memory WAV bytes (HTTP responses)."""
     audio = np.asarray(audio)
     if audio.ndim == 1:
         audio = audio[None, :]
@@ -94,16 +111,17 @@ def write_wav(path: str, audio: np.ndarray, sr: int, subtype: str = "PCM_16") ->
 
     byte_rate = sr * n_channels * sampwidth
     block_align = n_channels * sampwidth
-    with open(path, "wb") as f:
-        f.write(b"RIFF")
-        f.write(struct.pack("<I", 36 + len(pcm)))
-        f.write(b"WAVE")
-        f.write(b"fmt ")
-        f.write(struct.pack("<IHHIIHH", 16, fmt_code, n_channels, sr,
-                            byte_rate, block_align, sampwidth * 8))
-        f.write(b"data")
-        f.write(struct.pack("<I", len(pcm)))
-        f.write(pcm)
+    return b"".join([
+        b"RIFF",
+        struct.pack("<I", 36 + len(pcm)),
+        b"WAVE",
+        b"fmt ",
+        struct.pack("<IHHIIHH", 16, fmt_code, n_channels, sr,
+                    byte_rate, block_align, sampwidth * 8),
+        b"data",
+        struct.pack("<I", len(pcm)),
+        pcm,
+    ])
 
 
 def _resample_host(x: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:

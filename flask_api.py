@@ -29,33 +29,18 @@ CORE = None
 
 
 def _read_wav_bytes(data: bytes):
-    import tempfile, os
-    from ddsp_svc_tpu.data.wavio import read_wav
+    from ddsp_svc_tpu.data.wavio import read_wav_bytes
 
-    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
-        f.write(data)
-        path = f.name
-    try:
-        audio, sr = read_wav(path)
-    finally:
-        os.unlink(path)
+    audio, sr = read_wav_bytes(data)
     if audio.ndim > 1:
         audio = audio.mean(axis=0)
     return audio.astype(np.float32), sr
 
 
 def _wav_bytes(audio: np.ndarray, sr: int) -> bytes:
-    import tempfile, os
-    from ddsp_svc_tpu.data.wavio import write_wav
+    from ddsp_svc_tpu.data.wavio import wav_bytes
 
-    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
-        path = f.name
-    try:
-        write_wav(path, audio, sr)
-        with open(path, "rb") as f:
-            return f.read()
-    finally:
-        os.unlink(path)
+    return wav_bytes(audio, sr)
 
 
 class Handler(BaseHTTPRequestHandler):
