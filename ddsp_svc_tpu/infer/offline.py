@@ -135,7 +135,10 @@ def run_inference(
     enhancer = None
     if enhance:
         print("Enhancer type: " + str(args.enhancer.type))
-        enhancer = Enhancer(args.enhancer.type, args.enhancer.ckpt)
+        enhancer = Enhancer(
+            args.enhancer.type, args.enhancer.ckpt,
+            bf16_min_channels=int(args.enhancer.bf16_min_channels or 0),
+        )
 
     from ..models.factory import make_jitted_synth
 
