@@ -71,8 +71,11 @@ def sola_shift(temp_wav: np.ndarray, sola_buffer: np.ndarray,
 class SvcCore:
     """Whole-window conversion (SvcDDSP parity, gui.py:34-140)."""
 
-    def __init__(self, model_path: str):
+    def __init__(self, model_path: str, mesh=None, mesh_axis: str = "data"):
+        """mesh: optional jax.sharding.Mesh — time-shard each window's
+        synthesis over the mesh (multi-chip streaming; SURVEY §2.3)."""
         self.model, self.variables, self.args = load_model(model_path)
+        self.mesh, self.mesh_axis = mesh, mesh_axis
         self.units_encoder = UnitsEncoder(
             self.args.data.encoder,
             self.args.data.encoder_ckpt,
@@ -83,7 +86,10 @@ class SvcCore:
         if self.args.enhancer and self.args.enhancer.ckpt:
             try:
                 self.enhancer = Enhancer(
-                    self.args.enhancer.type, self.args.enhancer.ckpt
+                    self.args.enhancer.type, self.args.enhancer.ckpt,
+                    bf16_min_channels=int(
+                        self.args.enhancer.bf16_min_channels or 0
+                    ),
                 )
             except FileNotFoundError:
                 self.enhancer = None
@@ -98,7 +104,8 @@ class SvcCore:
         key = tuple(sorted(spk_mix_dict.items())) if spk_mix_dict else None
         if key not in self._synth_cache:
             self._synth_cache[key] = make_jitted_synth(
-                self.model, self.variables, spk_mix_dict=spk_mix_dict
+                self.model, self.variables, spk_mix_dict=spk_mix_dict,
+                mesh=self.mesh, mesh_axis=self.mesh_axis,
             )
         return self._synth_cache[key]
 

@@ -54,12 +54,18 @@ def build_model(args: DotDict) -> nn.Module:
     raise ValueError(f" [x] Unknown Model: {mtype}")
 
 
-def make_jitted_synth(model, variables, spk_mix_dict=None, min_frames: int = 32):
+def make_jitted_synth(model, variables, spk_mix_dict=None, min_frames: int = 32,
+                      mesh=None, mesh_axis: str = "data"):
     """Jitted, shape-bucketed synthesizer forward for inference pipelines.
 
     Variable-length segments are padded to the next power-of-two frame count
     (>= min_frames) so repeated calls hit the XLA compile cache — essential
     on remote-compile backends where eager dispatch is pathologically slow.
+
+    mesh: optional jax.sharding.Mesh — shard the *time axis* over
+    `mesh_axis` (parallel/timeparallel.py), so one utterance's synthesis
+    spreads across chips (multi-chip streaming/offline inference). The mesh
+    axis size must be a power of two (bucket sizes are powers of two).
 
     Returns fn(units (1,F,C), f0 (1,F,1), volume (1,F), spk_id (1,1), rng)
     -> signal (1, F*block) numpy.
@@ -70,13 +76,35 @@ def make_jitted_synth(model, variables, spk_mix_dict=None, min_frames: int = 32)
 
     block = int(model.block_size)
 
-    @jax.jit
-    def fwd(units, f0, volume, spk_id, rng):
-        signal, _, _ = model.apply(
-            variables, units, f0, volume, spk_id,
-            spk_mix_dict=spk_mix_dict, infer=True, rngs={"noise": rng},
+    if mesh is not None:
+        from ..parallel.timeparallel import make_time_parallel_forward
+
+        axis_size = mesh.shape[mesh_axis]
+        if axis_size & (axis_size - 1):
+            raise ValueError(
+                f"mesh axis '{mesh_axis}' size {axis_size} must be a power "
+                "of two to match the frame bucketing"
+            )
+        min_frames = max(min_frames, axis_size)
+        tp_forward = make_time_parallel_forward(
+            model, variables, mesh, axis=mesh_axis, spk_mix_dict=spk_mix_dict
         )
-        return signal
+
+        @jax.jit
+        def fwd(units, f0, volume, spk_id, rng):
+            noise = jax.random.uniform(
+                rng, (units.shape[0], units.shape[1] * block),
+                minval=-1.0, maxval=1.0,
+            )
+            return tp_forward(units, f0, volume, spk_id, noise)
+    else:
+        @jax.jit
+        def fwd(units, f0, volume, spk_id, rng):
+            signal, _, _ = model.apply(
+                variables, units, f0, volume, spk_id,
+                spk_mix_dict=spk_mix_dict, infer=True, rngs={"noise": rng},
+            )
+            return signal
 
     def run(units, f0, volume, spk_id, rng):
         n = units.shape[1]

@@ -23,7 +23,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_time_parallel_forward(model, variables, mesh: Mesh,
-                               axis: str = "data", fft_mode: str = "auto"):
+                               axis: str = "data", fft_mode: str = "auto",
+                               spk_mix_dict=None):
     """Jitted forward with all time/frame axes sharded over `axis`.
 
     Returns fn(units, f0, volume, spk_id, noise) -> signal, where
@@ -55,7 +56,8 @@ def make_time_parallel_forward(model, variables, mesh: Mesh,
             noise, NamedSharding(mesh, t_shard)
         )
         signal, _, _ = model.apply(
-            variables, units, f0, volume, spk_id, infer=True, noise=noise
+            variables, units, f0, volume, spk_id,
+            spk_mix_dict=spk_mix_dict, infer=True, noise=noise,
         )
         return signal
 

@@ -126,3 +126,48 @@ def test_time_parallel_inference_matches_single_device(setup):
     # it; require agreement to 0.3% of the signal amplitude
     scale = np.abs(ref).max() + 1e-9
     assert np.abs(got - ref).max() / scale < 3e-3, np.abs(got - ref).max() / scale
+
+
+def test_make_jitted_synth_with_mesh_matches_unsharded(setup):
+    """make_jitted_synth(mesh=...) time-shards each bucket-padded window
+    over the mesh (multi-chip streaming, infer/streaming.py SvcCore); the
+    cropped output must match the unsharded forward fed the identical
+    noise draw."""
+    import jax.numpy as jnp
+    from ddsp_svc_tpu.models.factory import make_jitted_synth
+    from ddsp_svc_tpu.ops import spectral
+
+    model, _, _, state0, _ = setup
+    variables = {"params": state0.params, "constants": state0.constants}
+
+    rng = np.random.default_rng(11)
+    b, n_frames, block, n_unit = 1, 24, 256, 64  # pads to a 32-frame bucket
+    units = rng.standard_normal((b, n_frames, n_unit)).astype(np.float32)
+    f0 = (200 * rng.random((b, n_frames, 1)) + 80).astype(np.float32)
+    volume = rng.random((b, n_frames)).astype(np.float32)
+    spk = np.ones((b, 1), dtype=np.int64)
+    rngkey = jax.random.key(3)
+
+    bucket = 32
+    # the mesh path draws noise over the padded window; reproduce it exactly
+    noise = jax.random.uniform(rngkey, (b, bucket * block),
+                               minval=-1.0, maxval=1.0)
+    spectral.set_fft_mode("dft")
+    try:
+        ref = np.asarray(model.apply(
+            variables,
+            jnp.asarray(np.pad(units, ((0, 0), (0, bucket - n_frames), (0, 0)))),
+            jnp.asarray(np.pad(f0, ((0, 0), (0, bucket - n_frames), (0, 0)),
+                               mode="edge")),
+            jnp.asarray(np.pad(volume, ((0, 0), (0, bucket - n_frames)))),
+            jnp.asarray(spk), infer=True, noise=noise,
+        )[0])[:, : n_frames * block]
+
+        mesh = make_mesh(n_data=8, n_model=1)
+        synth = make_jitted_synth(model, variables, mesh=mesh, mesh_axis="data")
+        got = synth(units, f0, volume, spk, rngkey)
+    finally:
+        spectral.set_fft_mode("fft")
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 3e-3, np.abs(got - ref).max() / scale
