@@ -24,6 +24,40 @@ import jax.numpy as jnp
 from .windows import hann_window, bartlett_window
 from .spectral import frame_signal, overlap_add, next_pow2, rfft as _rfft, irfft as _irfft
 
+# Backend for the framed spectral convolution inside fft_convolve:
+#   'auto'   — XLA FFT when the native FFT op is usable; the fused Pallas
+#              MXU DFT kernel when spectral mode is 'dft' (TPU SPMD/sharded
+#              paths, where the FFT op is unavailable). Measured on v5e
+#              (Sins forward, batch 2): XLA FFT 157x, Pallas 147x, plain
+#              DFT matmuls 143x — so Pallas only replaces the DFT path.
+#   'pallas' — force the Pallas kernel (interpret mode off-TPU; tests)
+#   'xla'    — force the XLA FFT/DFT path
+_CONV_BACKEND = "auto"
+
+
+def set_conv_backend(mode: str) -> None:
+    global _CONV_BACKEND
+    assert mode in ("auto", "pallas", "xla"), mode
+    _CONV_BACKEND = mode
+
+
+def _use_pallas_conv(fft_size: int, frame_size: int) -> bool:
+    import jax
+
+    from .spectral import get_fft_mode
+
+    if _CONV_BACKEND == "xla":
+        return False
+    if _CONV_BACKEND == "pallas":
+        return True
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    return (
+        on_tpu
+        and get_fft_mode() == "dft"
+        and fft_size & (fft_size - 1) == 0
+        and frame_size % 8 == 0
+    )
+
 
 def _apply_window_to_impulse_response(ir: jnp.ndarray) -> jnp.ndarray:
     """Static full-size Hann windowing of a zero-phase IR; returns causal IR.
@@ -105,9 +139,22 @@ def fft_convolve(audio: jnp.ndarray, impulse_response: jnp.ndarray) -> jnp.ndarr
     ir_frames = jnp.concatenate(
         [impulse_response, impulse_response[:, -1:, :]], axis=1
     )
-    audio_fft = _rfft(audio_frames, fft_size)
-    ir_fft = _rfft(ir_frames, fft_size)
-    conv_frames = _irfft(audio_fft * ir_fft, fft_size)
+    if _use_pallas_conv(fft_size, frame_size):
+        from .pallas_kernels import ltv_fir_convolve_pallas
+        import jax
+
+        b, nf = audio_frames.shape[:2]
+        interpret = jax.default_backend() in ("cpu", "gpu")
+        conv_frames = ltv_fir_convolve_pallas(
+            audio_frames.reshape(b * nf, frame_size),
+            ir_frames.reshape(b * nf, ir_size),
+            fft_size,
+            interpret,
+        ).reshape(b, nf, fft_size)
+    else:
+        audio_fft = _rfft(audio_frames, fft_size)
+        ir_fft = _rfft(ir_frames, fft_size)
+        conv_frames = _irfft(audio_fft * ir_fft, fft_size)
 
     out = overlap_add(conv_frames, hop)
     start = hop + ir_size // 2

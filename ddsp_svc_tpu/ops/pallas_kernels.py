@@ -189,3 +189,137 @@ def oscillator_bank_auto(
     if on_tpu and t == f * block_size and block_size % 128 == 0:
         return oscillator_bank_pallas(phase, amplitudes_frames, block_size)
     return oscillator_bank(phase, amplitudes_frames, block_size, harmonic_chunk)
+
+
+# ------------------- LTV-FIR spectral convolution on the MXU -----------------
+#
+# fft_convolve (ops/fft_filter.py; reference core.py:185-239) multiplies the
+# spectra of Bartlett-windowed audio frames with per-frame impulse-response
+# spectra. XLA lowers the three FFTs to the VPU; here the whole
+# rfft(a) * rfft(h) -> irfft chain runs as MXU matmuls against shared
+# cos/sin DFT blocks, fused in one kernel (no HBM round-trip for the
+# spectra). Grid: (frame blocks, bin blocks) with the inverse-transform
+# contribution of each bin block accumulated into the output rows.
+
+_LTV_FT = 128   # frame rows per program
+_LTV_KT = 128   # frequency bins per program
+
+
+def _ltv_conv_kernel(a_ref, h_ref, cos_ref, sin_ref, out_ref, *, n_fft: int):
+    j = pl.program_id(1)
+    a = a_ref[:, :]          # (FT, frame_size)
+    h = h_ref[:, :]          # (FT, ir_pad)
+    c = cos_ref[:, :]        # (n_fft, KT)
+    s = sin_ref[:, :]
+    ca, sa = c[: a.shape[-1]], s[: a.shape[-1]]
+    ch, sh = c[: h.shape[-1]], s[: h.shape[-1]]
+    ar = jnp.dot(a, ca, preferred_element_type=jnp.float32)
+    ai = -jnp.dot(a, sa, preferred_element_type=jnp.float32)
+    br = jnp.dot(h, ch, preferred_element_type=jnp.float32)
+    bi = -jnp.dot(h, sh, preferred_element_type=jnp.float32)
+    pr = ar * br - ai * bi
+    pi = ar * bi + ai * br
+    # irfft bin weights: 1/n at DC and Nyquist, 2/n elsewhere, 0 for the
+    # padded bins beyond n_fft//2
+    k = j * _LTV_KT + jax.lax.broadcasted_iota(jnp.int32, (1, _LTV_KT), 1)
+    w = jnp.where((k == 0) | (k == n_fft // 2), 1.0, 2.0) / n_fft
+    w = jnp.where(k > n_fft // 2, 0.0, w)
+    contrib = (
+        jnp.dot(w * pr, c.T, preferred_element_type=jnp.float32)
+        - jnp.dot(w * pi, s.T, preferred_element_type=jnp.float32)
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = contrib
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:, :] += contrib
+
+
+def _spectral_convolve_dft(a: jnp.ndarray, h: jnp.ndarray, n_fft: int):
+    """Plain-jnp reference of the same math (used for the VJP and tests).
+
+    a :: (R, frame_size), h :: (R, ir_size) -> (R, n_fft)."""
+    from .spectral import _dft_matrices
+
+    cos_np, sin_np = _dft_matrices(n_fft)
+    c, s = jnp.asarray(cos_np), jnp.asarray(sin_np)
+    ar = a @ c[: a.shape[-1]]
+    ai = -(a @ s[: a.shape[-1]])
+    br = h @ c[: h.shape[-1]]
+    bi = -(h @ s[: h.shape[-1]])
+    pr = ar * br - ai * bi
+    pi = ar * bi + ai * br
+    k = np.arange(n_fft // 2 + 1)
+    w = jnp.asarray(
+        (np.where((k == 0) | (k == n_fft // 2), 1.0, 2.0) / n_fft
+         ).astype(np.float32)
+    )
+    return (w * pr) @ c.T - (w * pi) @ s.T
+
+
+def _ltv_conv_fwd_impl(a: jnp.ndarray, h: jnp.ndarray, n_fft: int,
+                       interpret: bool) -> jnp.ndarray:
+    from .spectral import _dft_matrices
+
+    rows, frame_size = a.shape
+    ir_size = h.shape[-1]
+    bins = n_fft // 2 + 1
+    bins_pad = ((bins + _LTV_KT - 1) // _LTV_KT) * _LTV_KT
+    cos_np, sin_np = _dft_matrices(n_fft)
+    cos = jnp.asarray(np.pad(cos_np, ((0, 0), (0, bins_pad - bins))))
+    sin = jnp.asarray(np.pad(sin_np, ((0, 0), (0, bins_pad - bins))))
+    rows_pad = ((rows + _LTV_FT - 1) // _LTV_FT) * _LTV_FT
+    ir_pad = ((ir_size + 7) // 8) * 8
+    if rows_pad != rows:
+        a = jnp.pad(a, ((0, rows_pad - rows), (0, 0)))
+        h = jnp.pad(h, ((0, rows_pad - rows), (0, 0)))
+    if ir_pad != ir_size:  # zero rows of the DFT matrix contribute nothing
+        h = jnp.pad(h, ((0, 0), (0, ir_pad - ir_size)))
+    kernel = functools.partial(_ltv_conv_kernel, n_fft=n_fft)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows_pad, n_fft), jnp.float32),
+        grid=(rows_pad // _LTV_FT, bins_pad // _LTV_KT),
+        in_specs=[
+            pl.BlockSpec((_LTV_FT, frame_size), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LTV_FT, ir_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, _LTV_KT), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, _LTV_KT), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_LTV_FT, n_fft), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a, h, cos, sin)
+    return out[:rows]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def ltv_fir_convolve_pallas(a_frames, ir_frames, n_fft: int,
+                            interpret: bool = False):
+    """Per-row spectral convolution irfft(rfft(a) * rfft(h), n_fft) fused as
+    MXU DFT matmuls. a_frames :: (R, frame_size), ir_frames :: (R, ir_size),
+    n_fft >= frame_size + ir_size - 1 (zero-padded linear convolution)."""
+    return _ltv_conv_fwd_impl(a_frames, ir_frames, n_fft, interpret)
+
+
+def _ltv_conv_vjp_fwd(a_frames, ir_frames, n_fft, interpret):
+    out = _ltv_conv_fwd_impl(a_frames, ir_frames, n_fft, interpret)
+    return out, (a_frames, ir_frames)
+
+
+def _ltv_conv_vjp_bwd(n_fft, interpret, res, g):
+    a_frames, ir_frames = res
+    _, vjp = jax.vjp(
+        lambda a, h: _spectral_convolve_dft(a, h, n_fft), a_frames, ir_frames
+    )
+    return vjp(g)
+
+
+ltv_fir_convolve_pallas.defvjp(_ltv_conv_vjp_fwd, _ltv_conv_vjp_bwd)

@@ -1,5 +1,6 @@
 """Pallas kernel correctness (interpret mode on CPU) vs XLA reference."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ddsp_svc_tpu.ops.exciters import oscillator_bank
@@ -73,3 +74,53 @@ def test_spectrogram_mxu_backend_matches():
     finally:
         spectral.set_mag_backend("fft")
     np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_ltv_fir_pallas_backend_matches_xla():
+    """fft_convolve's Pallas MXU DFT path (forced, interpret on CPU) must
+    match the XLA FFT path through the full frequency_filter — static-Hann,
+    all-pass (complex magnitudes), and dynamic-window variants — and
+    produce the same gradients (custom VJP)."""
+    from ddsp_svc_tpu.ops import fft_filter
+    from ddsp_svc_tpu.ops.fft_filter import frequency_filter
+
+    rng = np.random.default_rng(7)
+    b, t, n_frames, n_mag = 2, 4096, 8, 65
+    audio = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32))
+    mags = jnp.asarray(rng.random((b, n_frames, n_mag)).astype(np.float32))
+    phase = jnp.asarray(
+        (rng.random((b, n_frames, n_mag)) - 0.5).astype(np.float32)
+    )
+    half_width = jnp.asarray(
+        (20.0 + 50.0 * rng.random((b, n_frames, 1))).astype(np.float32)
+    )
+    cases = [
+        dict(magnitudes=mags, hann_windowed=True),
+        dict(magnitudes=jnp.exp(1j * np.pi * phase.astype(jnp.complex64)),
+             hann_windowed=False),
+        dict(magnitudes=mags, hann_windowed=True,
+             half_width_frames=half_width),
+    ]
+    for kw in cases:
+        ref = np.asarray(frequency_filter(audio, **kw))
+        fft_filter.set_conv_backend("pallas")
+        try:
+            got = np.asarray(frequency_filter(audio, **kw))
+        finally:
+            fft_filter.set_conv_backend("auto")
+        scale = np.abs(ref).max() + 1e-9
+        assert np.abs(got - ref).max() / scale < 2e-4, (
+            kw.get("hann_windowed"), np.abs(got - ref).max() / scale
+        )
+
+    def loss(mags, backend):
+        fft_filter.set_conv_backend(backend)
+        try:
+            return jnp.sum(frequency_filter(audio, magnitudes=mags) ** 2)
+        finally:
+            fft_filter.set_conv_backend("auto")
+
+    g_ref = np.asarray(jax.grad(lambda m: loss(m, "xla"))(mags))
+    g_got = np.asarray(jax.grad(lambda m: loss(m, "pallas"))(mags))
+    scale = np.abs(g_ref).max() + 1e-9
+    assert np.abs(g_got - g_ref).max() / scale < 2e-4
