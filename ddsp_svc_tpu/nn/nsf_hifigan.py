@@ -139,6 +139,15 @@ class Generator(nn.Module):
     # pay cast overhead), but bf16 on the early wide stages is +29%
     # (157x vs 122x realtime at the 44.1 kHz community-vocoder geometry).
     bf16_min_channels: int = 0
+    # Fuse each stage's resblock trio into one Pallas kernel on TPU (the
+    # narrow fp32 tail stages are HBM-bound: 18 conv round-trips become one
+    # VMEM-resident pass — tools/profile_stages.py). Auto-disabled off-TPU
+    # and for geometries the kernel doesn't cover; "force" runs it in
+    # interpret mode off-TPU (tests).
+    fused_resblocks: object = True
+    # MXU input precision inside the fused kernel (fp32 accumulation and
+    # fp32 residual carries either way).
+    fused_mxu_bf16: bool = True
 
     @nn.compact
     def __call__(
@@ -186,16 +195,24 @@ class Generator(nn.Module):
                 xs_src = nn.Conv(ch, (1,), name=f"noise_conv_{i}",
                                  dtype=stage_dtype)(har)
             x = x + xs_src[:, : x.shape[1], :]
-            xs = None
-            for j, (rk, rd) in enumerate(
-                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
-            ):
-                r = ResBlock1(
+            rbs = [
+                ResBlock1(
                     ch, rk, tuple(rd), name=f"resblock_{i}_{j}",
                     dtype=stage_dtype,
-                )(x)
-                xs = r if xs is None else xs + r
-            x = xs / n_kernels
+                )
+                for j, (rk, rd) in enumerate(
+                    zip(self.resblock_kernel_sizes,
+                        self.resblock_dilation_sizes)
+                )
+            ]
+            if self._use_fused(ch, stage_dtype):
+                x = self._fused_trio(rbs, x, i, ch)
+            else:
+                xs = None
+                for r in rbs:
+                    r_out = r(x)
+                    xs = r_out if xs is None else xs + r_out
+                x = xs / n_kernels
             if self.bf16_min_channels and stage_dtype is not None:
                 next_ch = self.upsample_initial_channel // (2 ** (i + 2))
                 if i + 1 >= n_up or next_ch < self.bf16_min_channels:
@@ -204,3 +221,52 @@ class Generator(nn.Module):
         x = nn.Conv(1, (7,), padding=((3, 3),), name="conv_post",
                     dtype=self.dtype)(x)
         return jnp.tanh(x.astype(jnp.float32))[..., 0]
+
+    def _use_fused(self, ch: int, stage_dtype) -> bool:
+        if not self.fused_resblocks or stage_dtype is not None or ch > 64:
+            return False
+        if ch % 8 != 0:  # sublane alignment of the (C, W) tiles
+            return False
+        if len(self.resblock_kernel_sizes) != 3:
+            return False
+        dils = [tuple(d) for d in self.resblock_dilation_sizes]
+        if len(set(dils)) != 1:  # kernel assumes shared dilation schedule
+            return False
+        if self.fused_resblocks == "force":  # tests: interpret mode off-TPU
+            return True
+        return jax.default_backend() not in ("cpu", "gpu")
+
+    def _fused_trio(self, rbs, x, i: int, ch: int) -> jnp.ndarray:
+        """Run the stage's resblock trio as one VMEM-resident Pallas pass.
+
+        The flax modules are still invoked once on a dummy frame so the
+        parameter tree (and checkpoint format) is identical to the unfused
+        path; the real compute reads those params directly."""
+        from ..ops.pallas_kernels import fused_resblocks_pallas
+
+        dummy = jnp.zeros((1, 1, ch), x.dtype)
+        for r in rbs:
+            r(dummy)
+        pv = self.variables["params"]
+        n_dil = len(self.resblock_dilation_sizes[0])
+        ws, bs = [], []
+        for j in range(3):
+            p = pv[f"resblock_{i}_{j}"]
+            ws.append(jnp.stack([
+                jnp.stack([p[f"conv1_{n}"]["kernel"],
+                           p[f"conv2_{n}"]["kernel"]])
+                for n in range(n_dil)
+            ]))
+            bs.append(jnp.stack([
+                jnp.stack([p[f"conv1_{n}"]["bias"], p[f"conv2_{n}"]["bias"]])
+                for n in range(n_dil)
+            ]))
+        return fused_resblocks_pallas(
+            x, *ws, *bs,
+            kernel_sizes=tuple(int(k) for k in self.resblock_kernel_sizes),
+            dilations=tuple(int(d) for d in self.resblock_dilation_sizes[0]),
+            tile=min(1024 if ch >= 64 else 2048,
+                     max(128, -(-x.shape[1] // 128) * 128)),
+            mxu_bf16=self.fused_mxu_bf16,
+            interpret=jax.default_backend() in ("cpu", "gpu"),
+        )

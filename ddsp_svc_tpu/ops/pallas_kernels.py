@@ -323,3 +323,199 @@ def _ltv_conv_vjp_bwd(n_fft, interpret, res, g):
 
 
 ltv_fir_convolve_pallas.defvjp(_ltv_conv_vjp_fwd, _ltv_conv_vjp_bwd)
+
+
+# ------------------ fused NSF-HiFiGAN resblock trio ---------------------
+#
+# The generator's narrow late stages (C=64/32/16 at 65k-262k samples) are
+# HBM-bandwidth-bound: each stage runs 18 small dilated convs
+# (3 resblocks x 3 dilations x 2 convs, models.py:46-63 in the reference)
+# and XLA round-trips the (B, T, C) activation to HBM around every one —
+# measured 44/61/88 ms per stage at batch 8 vs a ~6.6 ms traffic roof
+# (tools/profile_stages.py). This kernel keeps a (C, tile+2*halo) time tile
+# resident in VMEM across the whole trio: all convs, leaky_relus, residual
+# adds and the final average happen in-core; HBM sees one read of x and one
+# write of the result. Convs are per-tap (C_out, C_in) @ (C_in, W) dots;
+# with C<=64 the MXU is padded anyway, so compute stays far below the
+# bandwidth saved. MXU inputs optionally bf16 (fp32 accumulation + fp32
+# residual carries — tighter than casting whole stages to bf16).
+
+_RB_HALO = 64  # >= cumulative receptive margin: max_k 6*(k-1) = 60 (k=11)
+
+
+def _leaky_k(x, slope=0.1):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def _rb_conv_cf(h, mask, w_ref, b_ref, i, j, k, d, n_ch, mxu_bf16):
+    """Channel-first 'same' conv on a VMEM tile.
+
+    h :: (C, W) fp32; mask :: (1, W) zeroing positions outside the real
+    sequence (torch convs zero-pad every *intermediate*, so the chain must
+    not let bias terms propagate past the sequence edge); w_ref ::
+    (n_dil, 2, k, C, 128) [(out, in)-ordered, lane-padded]; b_ref ::
+    (n_dil, 2, 8, 128). Zero-fill at tile edges is exact because callers
+    keep a halo wider than the cumulative receptive margin."""
+    c, width = h.shape
+    off = (k - 1) // 2 * d
+    hp = jnp.pad(h * mask, ((0, 0), (off, off)))
+    if mxu_bf16:
+        hp = hp.astype(jnp.bfloat16)
+    acc = None
+    for tap in range(k):
+        wt = w_ref[i, j, tap, :, :n_ch]  # (C_out, C_in)
+        contrib = jax.lax.dot(
+            wt, hp[:, tap * d : tap * d + width],
+            preferred_element_type=jnp.float32,
+        )
+        acc = contrib if acc is None else acc + contrib
+    return acc + b_ref[i, j, 0, :n_ch][:, None]
+
+
+def _fused_rb_kernel(
+    x_ref, w0_ref, w1_ref, w2_ref, b0_ref, b1_ref, b2_ref, out_ref,
+    *, kernel_sizes, dilations, mxu_bf16, n_tiles, tile, seq_len,
+):
+    x = x_ref[0]  # (C, W) fp32
+    n_ch, width = x.shape
+    tile_idx = pl.program_id(0) % n_tiles
+    g = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+        + tile_idx * tile - _RB_HALO
+    )
+    mask = ((g >= 0) & (g < seq_len)).astype(x.dtype)
+    acc = None
+    for w_ref, b_ref, k in zip(
+        (w0_ref, w1_ref, w2_ref), (b0_ref, b1_ref, b2_ref), kernel_sizes
+    ):
+        h = x
+        for i, d in enumerate(dilations):
+            t = _leaky_k(h)
+            t = _rb_conv_cf(t, mask, w_ref, b_ref, i, 0, k, d, n_ch,
+                            mxu_bf16)
+            t = _leaky_k(t)
+            t = _rb_conv_cf(t, mask, w_ref, b_ref, i, 1, k, 1, n_ch,
+                            mxu_bf16)
+            h = h + t
+        acc = h if acc is None else acc + h
+    out_ref[0] = (acc / len(kernel_sizes))[:, _RB_HALO:-_RB_HALO]
+
+
+def resblocks_reference(x, weights, biases, kernel_sizes, dilations):
+    """Plain-XLA trio: mean_k(chain of leaky->dilated conv->leaky->conv->add).
+
+    x :: (B, T, C); weights[r] :: (n_dil, 2, k_r, C_in, C_out) (flax nn.Conv
+    kernel layout stacked over (dilation, conv1/conv2)); biases[r] ::
+    (n_dil, 2, C). Matches nn/nsf_hifigan.py ResBlock1 numerics."""
+    acc = None
+    for w, b, k in zip(weights, biases, kernel_sizes):
+        h = x
+        for i, d in enumerate(dilations):
+            pad = (k * d - d) // 2
+            t = _leaky_k(h)
+            t = jax.lax.conv_general_dilated(
+                t, w[i, 0], window_strides=(1,), padding=[(pad, pad)],
+                rhs_dilation=(d,), dimension_numbers=("NHC", "HIO", "NHC"),
+            ) + b[i, 0]
+            t = _leaky_k(t)
+            pad1 = (k - 1) // 2
+            t = jax.lax.conv_general_dilated(
+                t, w[i, 1], window_strides=(1,), padding=[(pad1, pad1)],
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            ) + b[i, 1]
+            h = h + t
+        acc = h if acc is None else acc + h
+    return acc / len(kernel_sizes)
+
+
+def _fused_resblocks_fwd_impl(
+    x, w0, w1, w2, b0, b1, b2, kernel_sizes, dilations, tile, mxu_bf16,
+    interpret,
+):
+    b, t, c = x.shape
+    halo = _RB_HALO
+    width = tile + 2 * halo
+    n_tiles = -(-t // tile)
+    t_pad = n_tiles * tile
+    x_cf = jnp.transpose(x, (0, 2, 1)).astype(jnp.float32)  # (B, C, T)
+    xp = jnp.pad(x_cf, ((0, 0), (0, 0), (halo, halo + t_pad - t)))
+    tiles = jnp.stack(
+        [xp[:, :, s : s + width] for s in range(0, t_pad, tile)], axis=1
+    ).reshape(b * n_tiles, c, width)
+
+    w_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    w_in, b_in = [], []
+    for w, bias in zip((w0, w1, w2), (b0, b1, b2)):
+        # (n_dil, 2, k, C_in, C_out) -> (n_dil, 2, k, C_out, C_in pad 128)
+        wt = jnp.transpose(w, (0, 1, 2, 4, 3))
+        wt = jnp.pad(wt, ((0, 0),) * 4 + ((0, 128 - c),)).astype(w_dtype)
+        bp = jnp.pad(
+            bias[:, :, None, :], ((0, 0), (0, 0), (0, 7), (0, 128 - c))
+        ).astype(jnp.float32)
+        w_in.append(wt)
+        b_in.append(bp)
+
+    kernel = functools.partial(
+        _fused_rb_kernel, kernel_sizes=kernel_sizes, dilations=dilations,
+        mxu_bf16=mxu_bf16, n_tiles=n_tiles, tile=tile, seq_len=t,
+    )
+    full = lambda arr: pl.BlockSpec(
+        arr.shape, lambda r: (0,) * arr.ndim, memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * n_tiles, c, tile), jnp.float32),
+        grid=(b * n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, c, width), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(w_in[0]), full(w_in[1]), full(w_in[2]),
+            full(b_in[0]), full(b_in[1]), full(b_in[2]),
+        ],
+        out_specs=pl.BlockSpec((1, c, tile), lambda r: (r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tiles, *w_in, *b_in)
+    out = out.reshape(b, n_tiles, c, tile).transpose(0, 1, 3, 2)
+    return out.reshape(b, t_pad, c)[:, :t].astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def fused_resblocks_pallas(
+    x, w0, w1, w2, b0, b1, b2,
+    kernel_sizes=(3, 7, 11), dilations=(1, 3, 5), tile=2048,
+    mxu_bf16=True, interpret=False,
+):
+    """NSF-HiFiGAN resblock trio fused in VMEM. x :: (B, T, C) channel-last;
+    w_r :: (n_dil, 2, k_r, C_in, C_out); b_r :: (n_dil, 2, C). Backward runs
+    the XLA reference (resblocks_reference)."""
+    return _fused_resblocks_fwd_impl(
+        x, w0, w1, w2, b0, b1, b2, kernel_sizes, dilations, tile, mxu_bf16,
+        interpret,
+    )
+
+
+def _fused_rb_vjp_fwd(
+    x, w0, w1, w2, b0, b1, b2, kernel_sizes, dilations, tile, mxu_bf16,
+    interpret,
+):
+    out = _fused_resblocks_fwd_impl(
+        x, w0, w1, w2, b0, b1, b2, kernel_sizes, dilations, tile, mxu_bf16,
+        interpret,
+    )
+    return out, (x, w0, w1, w2, b0, b1, b2)
+
+
+def _fused_rb_vjp_bwd(kernel_sizes, dilations, tile, mxu_bf16, interpret,
+                      res, g):
+    x, w0, w1, w2, b0, b1, b2 = res
+    _, vjp = jax.vjp(
+        lambda x_, *wb: resblocks_reference(
+            x_, wb[:3], wb[3:], kernel_sizes, dilations
+        ),
+        x, w0, w1, w2, b0, b1, b2,
+    )
+    return vjp(g)
+
+
+fused_resblocks_pallas.defvjp(_fused_rb_vjp_fwd, _fused_rb_vjp_bwd)

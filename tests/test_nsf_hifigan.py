@@ -161,3 +161,35 @@ def test_generator_staged_bf16_tracks_fp32():
     denom = np.sqrt(np.mean(y32 ** 2)) + 1e-12
     rel = np.sqrt(np.mean((y16 - y32) ** 2)) / denom
     assert rel < 2e-2, rel  # measured ~4e-3 at this geometry
+
+
+def test_generator_fused_resblocks_matches_unfused():
+    """fused_resblocks='force' routes every narrow fp32 stage through the
+    Pallas trio kernel (interpret mode off-TPU); same variables, same
+    output as the plain flax path."""
+    from ddsp_svc_tpu.nn.nsf_hifigan import Generator
+
+    kw = dict(
+        sampling_rate=H["sampling_rate"],
+        num_mels=H["num_mels"],
+        upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=64,
+        resblock_kernel_sizes=(3, 7, 11),
+        resblock_dilation_sizes=((1, 3, 5),) * 3,
+    )
+    g_plain = Generator(fused_resblocks=False, **kw)
+    g_fused = Generator(fused_resblocks="force", fused_mxu_bf16=False, **kw)
+    rng = np.random.default_rng(7)
+    b, f = 2, 24
+    mel = jnp.asarray(rng.standard_normal((b, f, H["num_mels"])).astype(np.float32))
+    f0 = jnp.asarray((150.0 + 100.0 * rng.random((b, f))).astype(np.float32))
+    rand_ini = jnp.zeros((b, 9))
+    v = g_plain.init(jax.random.key(0), mel, f0, rand_ini)
+    v2 = g_fused.init(jax.random.key(0), mel, f0, rand_ini)
+    assert jax.tree.map(lambda a: a.shape, v) == jax.tree.map(
+        lambda a: a.shape, v2
+    )  # identical param tree (checkpoint compatibility)
+    y_ref = np.asarray(g_plain.apply(v, mel, f0, rand_ini))
+    y_fused = np.asarray(g_fused.apply(v, mel, f0, rand_ini))
+    np.testing.assert_allclose(y_fused, y_ref, atol=2e-5, rtol=1e-4)

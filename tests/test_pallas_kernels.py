@@ -124,3 +124,107 @@ def test_ltv_fir_pallas_backend_matches_xla():
     g_got = np.asarray(jax.grad(lambda m: loss(m, "pallas"))(mags))
     scale = np.abs(g_ref).max() + 1e-9
     assert np.abs(g_got - g_ref).max() / scale < 2e-4
+
+
+def _trio_params(rng, ks, dils, c):
+    ws, bs = [], []
+    for k in ks:
+        w = rng.standard_normal((len(dils), 2, k, c, c)).astype(np.float32)
+        ws.append(jnp.asarray(w * (2.0 / (k * c)) ** 0.5))
+        bs.append(jnp.asarray(
+            (rng.standard_normal((len(dils), 2, c)) * 0.01).astype(np.float32)
+        ))
+    return ws, bs
+
+
+def test_fused_resblocks_matches_reference():
+    from ddsp_svc_tpu.ops.pallas_kernels import (
+        fused_resblocks_pallas, resblocks_reference,
+    )
+
+    rng = np.random.default_rng(4)
+    ks, dils = (3, 7, 11), (1, 3, 5)
+    for c, t in ((16, 700), (32, 512)):
+        x = jnp.asarray(rng.standard_normal((2, t, c)).astype(np.float32))
+        ws, bs = _trio_params(rng, ks, dils, c)
+        ref = resblocks_reference(x, ws, bs, ks, dils)
+        # fp32 MXU path: bitwise-close; tile smaller than T to cross tiles
+        got = fused_resblocks_pallas(
+            x, *ws, *bs, kernel_sizes=ks, dilations=dils, tile=256,
+            mxu_bf16=False, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
+        )
+
+
+def test_fused_resblocks_matches_flax_trio():
+    """The Pallas trio must equal three flax ResBlock1 modules averaged,
+    with weights read from the same param tree layout the Generator uses."""
+    import flax.linen as nn
+    from ddsp_svc_tpu.nn.nsf_hifigan import ResBlock1
+    from ddsp_svc_tpu.ops.pallas_kernels import fused_resblocks_pallas
+
+    rng = np.random.default_rng(5)
+    ks, dils, c, t = (3, 7, 11), (1, 3, 5), 16, 384
+    x = jnp.asarray(rng.standard_normal((1, t, c)).astype(np.float32))
+
+    class Trio(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            xs = None
+            for j, k in enumerate(ks):
+                r = ResBlock1(c, k, dils, name=f"resblock_0_{j}")(x)
+                xs = r if xs is None else xs + r
+            return xs / len(ks)
+
+    m = Trio()
+    v = m.init(jax.random.key(0), x)
+    ref = m.apply(v, x)
+
+    ws, bs = [], []
+    for j in range(3):
+        p = v["params"][f"resblock_0_{j}"]
+        ws.append(jnp.stack([
+            jnp.stack([p[f"conv1_{n}"]["kernel"], p[f"conv2_{n}"]["kernel"]])
+            for n in range(len(dils))
+        ]))
+        bs.append(jnp.stack([
+            jnp.stack([p[f"conv1_{n}"]["bias"], p[f"conv2_{n}"]["bias"]])
+            for n in range(len(dils))
+        ]))
+    got = fused_resblocks_pallas(
+        x, *ws, *bs, kernel_sizes=ks, dilations=dils, tile=128,
+        mxu_bf16=False, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_fused_resblocks_gradient_matches_reference():
+    from ddsp_svc_tpu.ops.pallas_kernels import (
+        fused_resblocks_pallas, resblocks_reference,
+    )
+
+    rng = np.random.default_rng(6)
+    ks, dils, c, t = (3, 7, 11), (1, 3, 5), 16, 256
+    x = jnp.asarray(rng.standard_normal((1, t, c)).astype(np.float32))
+    ws, bs = _trio_params(rng, ks, dils, c)
+
+    def loss_fused(x, ws, bs):
+        y = fused_resblocks_pallas(
+            x, *ws, *bs, kernel_sizes=ks, dilations=dils, tile=128,
+            mxu_bf16=False, interpret=True,
+        )
+        return jnp.sum(y**2)
+
+    def loss_ref(x, ws, bs):
+        return jnp.sum(resblocks_reference(x, ws, bs, ks, dils) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(x, ws, bs)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, ws, bs)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-3, rtol=3e-3
+        )
