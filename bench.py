@@ -73,32 +73,38 @@ def main():
             variables, units, f0, volume, spk_id, infer=True, noise=noise
         )
         f0_frames = f0[..., 0]
-        return nsf._forward_impl(nsf_vars, signal, f0_frames, rand_ini)
+        out = nsf._forward_impl(nsf_vars, signal, f0_frames, rand_ini)
+        # reduce on-device: a separate jnp.sum dispatch would add a full
+        # relay round-trip (~10-25 ms) of pure measurement artifact per call
+        return jnp.sum(out)
 
     fwd = jax.jit(full)
 
-    # vary inputs per call too (same caching concern within the run)
-    variants = [
-        (units + 0.01 * i, noise * (1.0 - 0.001 * i)) for i in range(1, 11)
-    ]
-
     def run(u, n):
-        out = fwd(variables, nsf.variables, u, f0, volume, spk_id, n, rand_ini)
         # force real execution: block_until_ready alone is not a reliable
-        # barrier on relayed/experimental backends — read a scalar back
-        return float(jnp.sum(out))
+        # barrier on relayed/experimental backends — read the scalar back
+        return float(
+            fwd(variables, nsf.variables, u, f0, volume, spk_id, n, rand_ini)
+        )
 
     run(units, noise)  # compile + warmup
 
-    n_iters = len(variants)
-    st = time.perf_counter()
-    acc = 0.0
-    for u, n in variants:
-        acc += run(u, n)
-    dt = time.perf_counter() - st
+    # Relay latency drifts minute-to-minute; time several small batches
+    # (inputs varied per call — the relay content-addresses executions) and
+    # take the median batch so one hiccup doesn't define the round's number.
+    n_batches, per_batch = 5, 4
+    acc, batch_dt = 0.0, []
+    i = 0
+    for _ in range(n_batches):
+        st = time.perf_counter()
+        for _ in range(per_batch):
+            i += 1
+            acc += run(units + 0.01 * i, noise * (1.0 - 0.001 * i))
+        batch_dt.append((time.perf_counter() - st) / per_batch)
     assert np.isfinite(acc)
+    dt = float(np.median(batch_dt))
 
-    audio_seconds = n_iters * b * n_frames * block / sr
+    audio_seconds = b * n_frames * block / sr
     rtf = audio_seconds / dt
     print(
         json.dumps(

@@ -223,7 +223,19 @@ class Generator(nn.Module):
         return jnp.tanh(x.astype(jnp.float32))[..., 0]
 
     def _use_fused(self, ch: int, stage_dtype) -> bool:
-        if not self.fused_resblocks or stage_dtype is not None or ch > 64:
+        if not self.fused_resblocks:
+            return False
+        # fp32 stages: C<=64 (the HBM-bound tail). bf16 stages: C<=128
+        # (wider weights exceed VMEM); the kernel upgrades them to fp32
+        # residual carries with bf16 MXU inputs.
+        if stage_dtype is None:
+            if ch > 64:
+                return False
+        elif stage_dtype == jnp.bfloat16:
+            # fp32 weights for C=128 would blow VMEM (~17 MB)
+            if ch > 128 or not self.fused_mxu_bf16:
+                return False
+        else:
             return False
         if ch % 8 != 0:  # sublane alignment of the (C, W) tiles
             return False

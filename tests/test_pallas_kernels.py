@@ -228,3 +228,19 @@ def test_fused_resblocks_gradient_matches_reference():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-3, rtol=3e-3
         )
+
+
+def test_log_mel_mxu_backend_matches():
+    """The MXU DFT mel frontend must match the jnp.fft path (log domain)."""
+    from ddsp_svc_tpu.ops import spectral
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray((rng.standard_normal((2, 4096)) * 0.2).astype(np.float32))
+    args = (16000, 512, 128, 512, 16, 40.0, 8000.0)
+    ref = np.asarray(spectral.log_mel_spectrogram(x, *args))
+    spectral.set_mag_backend("mxu")
+    try:
+        got = np.asarray(spectral.log_mel_spectrogram(x, *args))
+    finally:
+        spectral.set_mag_backend("auto")
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
