@@ -43,10 +43,11 @@ def main():
     sr, block, n_unit = 44100, 512, 256
     n_frames = 512  # ~5.9 s of audio per item
     # throughput configuration: the metric is audio-seconds/s *per chip*
-    # (BASELINE.md), so batch the offline/serving-style workload; this
-    # configuration (batch 8 + staged bf16) measures 270x realtime vs
-    # 157x at batch 2
-    b = 8
+    # (BASELINE.md), so batch the offline/serving-style workload. Relay
+    # dispatch overhead dominates small batches (batch 16 measured the SAME
+    # wall per call as batch 8); batch 32 measured 565x vs 225x at batch 8
+    # in the same window.
+    b = 32
 
     # seed from wall clock: the execution relay content-addresses dispatches,
     # so repeated runs with identical inputs would measure cache hits

@@ -23,13 +23,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed(fn, args, iters=10):
+    import jax
     import jax.numpy as jnp
 
+    # reduce on-device (a separate jnp.sum dispatch adds a relay round-trip)
+    g = jax.jit(lambda *a: jnp.sum(fn(*a)))
     # warmup/compile; relay content-addresses executions, so vary inputs
-    float(jnp.sum(fn(*args(0))))
+    float(g(*args(0)))
     st = time.perf_counter()
     for i in range(1, iters + 1):
-        float(jnp.sum(fn(*args(i))))
+        float(g(*args(i)))
     return (time.perf_counter() - st) / iters
 
 
@@ -174,6 +177,39 @@ def main():
             f"naive-traffic {traffic/1e9:.2f} GB (roof {roof_ms:.2f} ms)",
         )
         t_in = t_out
+
+    # ---- fused resblock trios at the same geometries ----
+    from ddsp_svc_tpu.ops.pallas_kernels import fused_resblocks_pallas
+
+    ks = tuple(H_NSF["resblock_kernel_sizes"])
+    dils = tuple(H_NSF["resblock_dilation_sizes"][0])
+    t_cum = n_frames
+    for i in range(n_up):
+        t_cum *= rates[i]
+        ch = c0 // (2 ** (i + 1))
+        if ch > 128 or ch % 8:
+            continue
+        x_in = jnp.asarray(
+            rng.standard_normal((b, t_cum, ch)).astype(np.float32) * 0.1
+        )
+        ws, bs = [], []
+        for k in ks:
+            w = rng.standard_normal((3, 2, k, ch, ch)).astype(np.float32)
+            ws.append(jnp.asarray(w * (2.0 / (k * ch)) ** 0.5))
+            bs.append(jnp.asarray(
+                (rng.standard_normal((3, 2, ch)) * 0.01).astype(np.float32)
+            ))
+        fn = jax.jit(lambda x, *wb: jnp.sum(fused_resblocks_pallas(
+            x, *wb, kernel_sizes=ks, dilations=dils,
+            tile=1024 if ch >= 64 else 2048, mxu_bf16=True,
+        )))
+        fns = fn  # bind
+        float(fns(x_in, *ws, *bs))
+        st = time.perf_counter()
+        for it in range(1, args.iters + 1):
+            float(fns(x_in * (1 + 1e-3 * it), *ws, *bs))
+        t = (time.perf_counter() - st) / args.iters
+        report(f"fused_trio{i} T{t_cum} C{ch}", t)
 
     print(json.dumps(rows))
 
