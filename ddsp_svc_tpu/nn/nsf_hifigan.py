@@ -277,8 +277,7 @@ class Generator(nn.Module):
             x, *ws, *bs,
             kernel_sizes=tuple(int(k) for k in self.resblock_kernel_sizes),
             dilations=tuple(int(d) for d in self.resblock_dilation_sizes[0]),
-            tile=min(1024 if ch >= 64 else 2048,
-                     max(128, -(-x.shape[1] // 128) * 128)),
+            tile=None,
             mxu_bf16=self.fused_mxu_bf16,
             interpret=jax.default_backend() in ("cpu", "gpu"),
         )

@@ -353,9 +353,16 @@ def _rb_conv_cf(h, mask, w_ref, b_ref, i, j, k, d, n_ch, mxu_bf16):
     h :: (C, W) fp32; mask :: (1, W) zeroing positions outside the real
     sequence (torch convs zero-pad every *intermediate*, so the chain must
     not let bias terms propagate past the sequence edge); w_ref ::
-    (n_dil, 2, k, C, 128) [(out, in)-ordered, lane-padded]; b_ref ::
-    (n_dil, 2, 8, 128). Zero-fill at tile edges is exact because callers
-    keep a halo wider than the cumulative receptive margin."""
+    (n_dil, 2, C, ceil128(k*C)) [(out, tap-major k*C_in)-ordered,
+    lane-padded]; b_ref :: (n_dil, 2, 8, 128). Zero-fill at tile edges is
+    exact because callers keep a halo wider than the cumulative receptive
+    margin.
+
+    Per-tap (C_out, C_in) @ (C_in, W) dots accumulated in fp32. (An
+    im2col K-packing was tried — one (C_out, k*C) @ (k*C, W) dot — but
+    Mosaic cannot concatenate lane-shifted slices: 'result/input offset
+    mismatch on non-concat dimension'; staged loads keep offset layouts
+    too. Wider time tiles recover most of the efficiency instead.)"""
     c, width = h.shape
     off = (k - 1) // 2 * d
     hp = jnp.pad(h * mask, ((0, 0), (off, off)))
@@ -363,7 +370,7 @@ def _rb_conv_cf(h, mask, w_ref, b_ref, i, j, k, d, n_ch, mxu_bf16):
         hp = hp.astype(jnp.bfloat16)
     acc = None
     for tap in range(k):
-        wt = w_ref[i, j, tap, :, :n_ch]  # (C_out, C_in)
+        wt = w_ref[i, j, :, tap * n_ch : (tap + 1) * n_ch]  # (C_out, C_in)
         contrib = jax.lax.dot(
             wt, hp[:, tap * d : tap * d + width],
             preferred_element_type=jnp.float32,
@@ -433,6 +440,11 @@ def _fused_resblocks_fwd_impl(
     interpret,
 ):
     b, t, c = x.shape
+    if tile is None:
+        # larger tiles at narrow C amortize per-program fixed costs (DMA
+        # issue + pipeline barriers measured ~10 us/program); bounded by
+        # VMEM for the wide stages and by the input length for short runs
+        tile = min(8192, max(1024, 131072 // c), max(128, -(-t // 128) * 128))
     halo = _RB_HALO
     width = tile + 2 * halo
     n_tiles = -(-t // tile)
@@ -446,9 +458,14 @@ def _fused_resblocks_fwd_impl(
     w_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
     w_in, b_in = [], []
     for w, bias in zip((w0, w1, w2), (b0, b1, b2)):
-        # (n_dil, 2, k, C_in, C_out) -> (n_dil, 2, k, C_out, C_in pad 128)
-        wt = jnp.transpose(w, (0, 1, 2, 4, 3))
-        wt = jnp.pad(wt, ((0, 0),) * 4 + ((0, 128 - c),)).astype(w_dtype)
+        # (n_dil, 2, k, C_in, C_out) -> (n_dil, 2, C_out, k*C_in pad 128)
+        # tap-major contraction layout matching the in-kernel im2col
+        n_dil, _, k = w.shape[:3]
+        wt = jnp.transpose(w, (0, 1, 4, 2, 3)).reshape(n_dil, 2, c, k * c)
+        kc_pad = -(-(k * c) // 128) * 128
+        wt = jnp.pad(
+            wt, ((0, 0),) * 3 + ((0, kc_pad - k * c),)
+        ).astype(w_dtype)
         bp = jnp.pad(
             bias[:, :, None, :], ((0, 0), (0, 0), (0, 7), (0, 128 - c))
         ).astype(jnp.float32)
@@ -483,12 +500,13 @@ def _fused_resblocks_fwd_impl(
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def fused_resblocks_pallas(
     x, w0, w1, w2, b0, b1, b2,
-    kernel_sizes=(3, 7, 11), dilations=(1, 3, 5), tile=2048,
+    kernel_sizes=(3, 7, 11), dilations=(1, 3, 5), tile=None,
     mxu_bf16=True, interpret=False,
 ):
     """NSF-HiFiGAN resblock trio fused in VMEM. x :: (B, T, C) channel-last;
-    w_r :: (n_dil, 2, k_r, C_in, C_out); b_r :: (n_dil, 2, C). Backward runs
-    the XLA reference (resblocks_reference)."""
+    w_r :: (n_dil, 2, k_r, C_in, C_out); b_r :: (n_dil, 2, C). tile=None
+    picks a channel-scaled time tile. Backward runs the XLA reference
+    (resblocks_reference)."""
     return _fused_resblocks_fwd_impl(
         x, w0, w1, w2, b0, b1, b2, kernel_sizes, dilations, tile, mxu_bf16,
         interpret,
