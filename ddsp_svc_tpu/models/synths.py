@@ -29,6 +29,7 @@ from ..nn.unit2control import Unit2Control
 from ..ops import (
     upsample_frames,
     f0_to_rot,
+    f0_to_rot_upsampled,
     frequency_filter,
     combtooth as combtooth_op,
     oscillator_bank,
@@ -81,8 +82,11 @@ class Sins(nn.Module):
         noise: Optional[jnp.ndarray] = None,
     ) -> Output:
         f0 = upsample_frames(f0_frames, self.block_size)[..., 0]  # (B, T)
-        phase = 2.0 * np.pi * f0_to_rot(
-            f0, self.sampling_rate, initial_phase, precise=infer
+        # closed-form frame-rate accumulator: == f0_to_rot(f0, precise=True)
+        # with the sequential scan at frame rate instead of sample rate
+        phase = 2.0 * np.pi * f0_to_rot_upsampled(
+            f0_frames[..., 0], self.block_size, self.sampling_rate,
+            initial_phase,
         )
         phase_frames = phase[:, :: self.block_size]
 
@@ -168,7 +172,9 @@ class CombSubFast(nn.Module):
     ) -> Output:
         bs = self.block_size
         f0 = upsample_frames(f0_frames, bs)[..., 0]  # (B, T)
-        rot = f0_to_rot(f0, self.sampling_rate, initial_phase, precise=infer)
+        rot = f0_to_rot_upsampled(
+            f0_frames[..., 0], bs, self.sampling_rate, initial_phase
+        )
         phase_frames = 2.0 * np.pi * rot[:, ::bs]
 
         ctrls = self.unit2ctrl(
@@ -253,7 +259,9 @@ class CombSub(nn.Module):
     ) -> Output:
         bs = self.block_size
         f0 = upsample_frames(f0_frames, bs)[..., 0]
-        rot = f0_to_rot(f0, self.sampling_rate, initial_phase, precise=infer)
+        rot = f0_to_rot_upsampled(
+            f0_frames[..., 0], bs, self.sampling_rate, initial_phase
+        )
         phase_frames = 2.0 * np.pi * rot[:, ::bs]
 
         ctrls = self.unit2ctrl(

@@ -65,6 +65,36 @@ def sine_source(
     return jnp.sin(2.0 * np.pi * phase) * sine_amp
 
 
+def harmonic_source_fused(
+    f0_frames: jnp.ndarray,
+    upp: int,
+    sr: int,
+    rand_ini: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    harmonic_num: int = 8,
+    sine_amp: float = 0.1,
+) -> jnp.ndarray:
+    """sine_source + SourceModuleHnNSF merge (Linear(9->1) + tanh) with the
+    harmonic reduction BEFORE the frame->sample reshape: identical math to
+    tanh(Dense(sine_source(...))) but XLA fuses broadcast+sin+reduce into
+    one pass over (B, F, upp) instead of materializing the (B, T, 9) sine
+    bank around a reshape. Returns (B, F*upp, 1)."""
+    h = harmonic_num + 1
+    k = jnp.arange(1, h + 1, dtype=f0_frames.dtype)
+    rad = _wrap(f0_frames[..., None] * k / sr)
+    d = _wrap(rad * upp)
+    end = _cumsum_mod1_compensated(d, axis=1)
+    start = _wrap(end - d)
+    start = _wrap(start + rand_ini[:, None, :])
+    s = jnp.arange(1, upp + 1, dtype=f0_frames.dtype)
+    phase = start[:, :, None, :] + rad[:, :, None, :] * s[None, None, :, None]
+    sines = jnp.sin(2.0 * np.pi * phase) * sine_amp  # (B, F, upp, H)
+    lin = jnp.einsum("bfsh,h->bfs", sines, w) + b
+    bsz, f = f0_frames.shape
+    return jnp.tanh(lin).reshape(bsz, f * upp)[..., None]
+
+
 class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
@@ -156,9 +186,16 @@ class Generator(nn.Module):
         """mel :: (B, F, num_mels); f0_frames :: (B, F); rand_ini :: (B, 9).
         Returns (B, F*prod(upsample_rates))."""
         upp = int(np.prod(self.upsample_rates))
-        # sine source stays fp32: phase accuracy matters
-        sine = sine_source(f0_frames, upp, self.sampling_rate, rand_ini)
-        har = jnp.tanh(nn.Dense(1, name="source_linear")(sine))  # (B, T, 1)
+        # sine source stays fp32: phase accuracy matters. The Dense(9->1)
+        # module is materialized once for its params; compute runs through
+        # the reduce-before-reshape formulation (harmonic_source_fused).
+        lin = nn.Dense(1, name="source_linear")
+        lin(jnp.zeros((1, 1, 9), jnp.float32))
+        p_lin = self.variables["params"]["source_linear"]
+        har = harmonic_source_fused(
+            f0_frames, upp, self.sampling_rate, rand_ini,
+            p_lin["kernel"][:, 0], p_lin["bias"][0],
+        )  # (B, T, 1)
         if self.dtype is not None:
             har = har.astype(self.dtype)
             mel = mel.astype(self.dtype)

@@ -193,3 +193,21 @@ def test_generator_fused_resblocks_matches_unfused():
     y_ref = np.asarray(g_plain.apply(v, mel, f0, rand_ini))
     y_fused = np.asarray(g_fused.apply(v, mel, f0, rand_ini))
     np.testing.assert_allclose(y_fused, y_ref, atol=2e-5, rtol=1e-4)
+
+
+def test_harmonic_source_fused_matches_modular():
+    """harmonic_source_fused == tanh(Dense(sine_source(...)))."""
+    from ddsp_svc_tpu.nn.nsf_hifigan import sine_source, harmonic_source_fused
+
+    rng = np.random.default_rng(9)
+    b, f, upp, sr = 2, 12, 64, 16000
+    f0 = jnp.asarray((100.0 + 400.0 * rng.random((b, f))).astype(np.float32))
+    rand_ini = jnp.asarray(
+        rng.uniform(0, 1, (b, 9)).astype(np.float32)
+    ).at[:, 0].set(0.0)
+    w = jnp.asarray(rng.standard_normal(9).astype(np.float32) * 0.3)
+    bias = jnp.asarray(np.float32(0.05))
+    sines = sine_source(f0, upp, sr, rand_ini)
+    ref = np.asarray(jnp.tanh(sines @ w[:, None] + bias))
+    got = np.asarray(harmonic_source_fused(f0, upp, sr, rand_ini, w, bias))
+    np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-5)

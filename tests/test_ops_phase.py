@@ -82,3 +82,28 @@ def test_parity_with_reference(ref_core):
     )
     err = np.abs(_wrap(got - ref))
     assert err.max() < 1e-5, err.max()
+
+
+def test_f0_to_rot_upsampled_matches_composed():
+    """Closed-form frame-rate accumulator == f0_to_rot(upsample_frames(...))
+    (precise path) to well below audio significance, including the
+    last-frame-repeated edge and initial phase."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ddsp_svc_tpu.ops.phase import f0_to_rot, f0_to_rot_upsampled
+    from ddsp_svc_tpu.ops.interp import upsample_frames
+
+    rng = np.random.default_rng(11)
+    b, f, block, sr = 3, 57, 64, 16000
+    f0 = jnp.asarray(
+        (80.0 + 700.0 * rng.random((b, f))).astype(np.float32)
+    )
+    init = jnp.asarray(rng.uniform(-np.pi, np.pi, (b,)).astype(np.float32))
+    ref = f0_to_rot(
+        upsample_frames(f0[..., None], block)[..., 0], sr, init, precise=True
+    )
+    got = f0_to_rot_upsampled(f0, block, sr, init)
+    # compare on the circle (both wrapped to (-0.5, 0.5])
+    d = np.asarray(got - ref)
+    d = np.abs(d - np.round(d))
+    assert d.max() < 2e-5, d.max()
