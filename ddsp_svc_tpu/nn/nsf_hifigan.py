@@ -269,7 +269,12 @@ class Generator(nn.Module):
             if ch > 64:
                 return False
         elif stage_dtype == jnp.bfloat16:
-            # fp32 weights for C=128 would blow VMEM (~17 MB)
+            # C<=128: whole trio in one kernel (fp32 weights at this width
+            # would blow VMEM, hence fused_mxu_bf16 required). C=256 was
+            # tried via per-resblock chain kernels and measured SLOWER than
+            # XLA's bf16 convs (93 vs 64 ms A/B medians at batch 32, T=4096
+            # — wide channels fill the MXU fine and the per-tap roll
+            # relayouts dominate), so wide stages stay on XLA.
             if ch > 128 or not self.fused_mxu_bf16:
                 return False
         else:
@@ -291,7 +296,9 @@ class Generator(nn.Module):
         The flax modules are still invoked once on a dummy frame so the
         parameter tree (and checkpoint format) is identical to the unfused
         path; the real compute reads those params directly."""
-        from ..ops.pallas_kernels import fused_resblocks_pallas
+        from ..ops.pallas_kernels import (
+            fused_resblock_chain_pallas, fused_resblocks_pallas,
+        )
 
         dummy = jnp.zeros((1, 1, ch), x.dtype)
         for r in rbs:
@@ -310,11 +317,20 @@ class Generator(nn.Module):
                 jnp.stack([p[f"conv1_{n}"]["bias"], p[f"conv2_{n}"]["bias"]])
                 for n in range(n_dil)
             ]))
+        ks = tuple(int(k) for k in self.resblock_kernel_sizes)
+        dils = tuple(int(d) for d in self.resblock_dilation_sizes[0])
+        interp = jax.default_backend() in ("cpu", "gpu")
+        if ch > 128:  # trio weights exceed VMEM: one kernel per resblock
+            outs = [
+                fused_resblock_chain_pallas(
+                    x, w, bb, k, dilations=dils, tile=None,
+                    mxu_bf16=self.fused_mxu_bf16, interpret=interp,
+                )
+                for w, bb, k in zip(ws, bs, ks)
+            ]
+            return sum(outs) / len(outs)
         return fused_resblocks_pallas(
             x, *ws, *bs,
-            kernel_sizes=tuple(int(k) for k in self.resblock_kernel_sizes),
-            dilations=tuple(int(d) for d in self.resblock_dilation_sizes[0]),
-            tile=None,
-            mxu_bf16=self.fused_mxu_bf16,
-            interpret=jax.default_backend() in ("cpu", "gpu"),
+            kernel_sizes=ks, dilations=dils, tile=None,
+            mxu_bf16=self.fused_mxu_bf16, interpret=interp,
         )

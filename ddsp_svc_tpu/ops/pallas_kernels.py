@@ -347,7 +347,8 @@ def _leaky_k(x, slope=0.1):
     return jnp.where(x >= 0, x, slope * x)
 
 
-def _rb_conv_cf(h, mask, w_ref, b_ref, i, j, k, d, n_ch, mxu_bf16):
+def _rb_conv_cf(h, mask, w_ref, b_ref, i, j, k, d, n_ch, mxu_bf16,
+                roll_im2col):
     """Channel-first 'same' conv on a VMEM tile.
 
     h :: (C, W) fp32; mask :: (1, W) zeroing positions outside the real
@@ -358,16 +359,39 @@ def _rb_conv_cf(h, mask, w_ref, b_ref, i, j, k, d, n_ch, mxu_bf16):
     exact because callers keep a halo wider than the cumulative receptive
     margin.
 
-    Per-tap (C_out, C_in) @ (C_in, W) dots accumulated in fp32. (An
-    im2col K-packing was tried — one (C_out, k*C) @ (k*C, W) dot — but
-    Mosaic cannot concatenate lane-shifted slices: 'result/input offset
-    mismatch on non-concat dimension'; staged loads keep offset layouts
-    too. Wider time tiles recover most of the efficiency instead.)"""
+    Two lowerings:
+    - roll-im2col (TPU default): pltpu.roll produces ALIGNED layouts
+      (unlike lane-shifted slices, which Mosaic refuses to concatenate:
+      'result/input offset mismatch on non-concat dimension'), so the k
+      taps stack along sublanes into ONE (C_out, k*C) @ (k*C, W) dot —
+      at narrow C a per-tap dot pads its contraction to 128 and wastes
+      the MXU up to 8x. Roll wraparound only contaminates the halo
+      margin (<= off per conv, cumulative <= 60 < _RB_HALO), which the
+      caller discards.
+    - per-tap dots (interpret fallback): (C_out, C_in) @ (C_in, W) per
+      tap, accumulated in fp32."""
     c, width = h.shape
     off = (k - 1) // 2 * d
-    hp = jnp.pad(h * mask, ((0, 0), (off, off)))
+    hp = h * mask
+    if roll_im2col:
+        # roll in fp32 (Mosaic: 'Rotate with non-32-bit data' unimplemented);
+        # cast each rolled part before stacking to halve the concat's VMEM
+        cast = (lambda v: v.astype(jnp.bfloat16)) if mxu_bf16 else (lambda v: v)
+        taps = jnp.concatenate(
+            [
+                cast(pltpu.roll(hp, (off - tap * d) % width, axis=1))
+                for tap in range(k)
+            ],
+            axis=0,
+        )  # (k*C, W)
+        out = jax.lax.dot(
+            w_ref[i, j, :, : k * n_ch], taps,
+            preferred_element_type=jnp.float32,
+        )
+        return out + b_ref[i, j, 0, :n_ch][:, None]
     if mxu_bf16:
         hp = hp.astype(jnp.bfloat16)
+    hp = jnp.pad(hp, ((0, 0), (off, off)))
     acc = None
     for tap in range(k):
         wt = w_ref[i, j, :, tap * n_ch : (tap + 1) * n_ch]  # (C_out, C_in)
@@ -380,9 +404,15 @@ def _rb_conv_cf(h, mask, w_ref, b_ref, i, j, k, d, n_ch, mxu_bf16):
 
 
 def _fused_rb_kernel(
-    x_ref, w0_ref, w1_ref, w2_ref, b0_ref, b1_ref, b2_ref, out_ref,
-    *, kernel_sizes, dilations, mxu_bf16, n_tiles, tile, seq_len,
+    *refs,
+    kernel_sizes, dilations, mxu_bf16, n_tiles, tile, seq_len,
+    roll_im2col,
 ):
+    n_rb = len(kernel_sizes)
+    x_ref = refs[0]
+    w_refs = refs[1 : 1 + n_rb]
+    b_refs = refs[1 + n_rb : 1 + 2 * n_rb]
+    out_ref = refs[1 + 2 * n_rb]
     x = x_ref[0]  # (C, W) fp32
     n_ch, width = x.shape
     tile_idx = pl.program_id(0) % n_tiles
@@ -392,17 +422,15 @@ def _fused_rb_kernel(
     )
     mask = ((g >= 0) & (g < seq_len)).astype(x.dtype)
     acc = None
-    for w_ref, b_ref, k in zip(
-        (w0_ref, w1_ref, w2_ref), (b0_ref, b1_ref, b2_ref), kernel_sizes
-    ):
+    for w_ref, b_ref, k in zip(w_refs, b_refs, kernel_sizes):
         h = x
         for i, d in enumerate(dilations):
             t = _leaky_k(h)
             t = _rb_conv_cf(t, mask, w_ref, b_ref, i, 0, k, d, n_ch,
-                            mxu_bf16)
+                            mxu_bf16, roll_im2col)
             t = _leaky_k(t)
             t = _rb_conv_cf(t, mask, w_ref, b_ref, i, 1, k, 1, n_ch,
-                            mxu_bf16)
+                            mxu_bf16, roll_im2col)
             h = h + t
         acc = h if acc is None else acc + h
     out_ref[0] = (acc / len(kernel_sizes))[:, _RB_HALO:-_RB_HALO]
@@ -436,15 +464,14 @@ def resblocks_reference(x, weights, biases, kernel_sizes, dilations):
 
 
 def _fused_resblocks_fwd_impl(
-    x, w0, w1, w2, b0, b1, b2, kernel_sizes, dilations, tile, mxu_bf16,
-    interpret,
+    x, weights, biases, kernel_sizes, dilations, tile, mxu_bf16, interpret,
 ):
     b, t, c = x.shape
     if tile is None:
         # larger tiles at narrow C amortize per-program fixed costs (DMA
         # issue + pipeline barriers measured ~10 us/program); bounded by
         # VMEM for the wide stages and by the input length for short runs
-        tile = min(8192, max(1024, 131072 // c), max(128, -(-t // 128) * 128))
+        tile = min(8192, max(512, 131072 // c), max(128, -(-t // 128) * 128))
     halo = _RB_HALO
     width = tile + 2 * halo
     n_tiles = -(-t // tile)
@@ -457,7 +484,7 @@ def _fused_resblocks_fwd_impl(
 
     w_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
     w_in, b_in = [], []
-    for w, bias in zip((w0, w1, w2), (b0, b1, b2)):
+    for w, bias in zip(weights, biases):
         # (n_dil, 2, k, C_in, C_out) -> (n_dil, 2, C_out, k*C_in pad 128)
         # tap-major contraction layout matching the in-kernel im2col
         n_dil, _, k = w.shape[:3]
@@ -467,7 +494,7 @@ def _fused_resblocks_fwd_impl(
             wt, ((0, 0),) * 3 + ((0, kc_pad - k * c),)
         ).astype(w_dtype)
         bp = jnp.pad(
-            bias[:, :, None, :], ((0, 0), (0, 0), (0, 7), (0, 128 - c))
+            bias[:, :, None, :], ((0, 0), (0, 0), (0, 7), (0, (-c) % 128))
         ).astype(jnp.float32)
         w_in.append(wt)
         b_in.append(bp)
@@ -475,6 +502,7 @@ def _fused_resblocks_fwd_impl(
     kernel = functools.partial(
         _fused_rb_kernel, kernel_sizes=kernel_sizes, dilations=dilations,
         mxu_bf16=mxu_bf16, n_tiles=n_tiles, tile=tile, seq_len=t,
+        roll_im2col=not interpret,  # pltpu.roll has no interpret lowering
     )
     full = lambda arr: pl.BlockSpec(
         arr.shape, lambda r: (0,) * arr.ndim, memory_space=pltpu.VMEM
@@ -483,12 +511,11 @@ def _fused_resblocks_fwd_impl(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b * n_tiles, c, tile), jnp.float32),
         grid=(b * n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, c, width), lambda r: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            full(w_in[0]), full(w_in[1]), full(w_in[2]),
-            full(b_in[0]), full(b_in[1]), full(b_in[2]),
-        ],
+        in_specs=(
+            [pl.BlockSpec((1, c, width), lambda r: (r, 0, 0),
+                          memory_space=pltpu.VMEM)]
+            + [full(a) for a in w_in] + [full(a) for a in b_in]
+        ),
         out_specs=pl.BlockSpec((1, c, tile), lambda r: (r, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
@@ -508,8 +535,8 @@ def fused_resblocks_pallas(
     picks a channel-scaled time tile. Backward runs the XLA reference
     (resblocks_reference)."""
     return _fused_resblocks_fwd_impl(
-        x, w0, w1, w2, b0, b1, b2, kernel_sizes, dilations, tile, mxu_bf16,
-        interpret,
+        x, (w0, w1, w2), (b0, b1, b2), kernel_sizes, dilations, tile,
+        mxu_bf16, interpret,
     )
 
 
@@ -518,8 +545,8 @@ def _fused_rb_vjp_fwd(
     interpret,
 ):
     out = _fused_resblocks_fwd_impl(
-        x, w0, w1, w2, b0, b1, b2, kernel_sizes, dilations, tile, mxu_bf16,
-        interpret,
+        x, (w0, w1, w2), (b0, b1, b2), kernel_sizes, dilations, tile,
+        mxu_bf16, interpret,
     )
     return out, (x, w0, w1, w2, b0, b1, b2)
 
@@ -537,3 +564,43 @@ def _fused_rb_vjp_bwd(kernel_sizes, dilations, tile, mxu_bf16, interpret,
 
 
 fused_resblocks_pallas.defvjp(_fused_rb_vjp_fwd, _fused_rb_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def fused_resblock_chain_pallas(
+    x, w, b, kernel_size, dilations=(1, 3, 5), tile=None,
+    mxu_bf16=True, interpret=False,
+):
+    """ONE ResBlock1 chain fused in VMEM (no trio average). Built for wide
+    stages (C=256) whose trio weights exceed VMEM — the Generator would run
+    one kernel per resblock and average in XLA — but measured SLOWER there
+    than XLA's bf16 convs (93 vs 64 ms A/B medians, batch 32, T=4096): at
+    wide C the MXU is already well fed and the per-tap roll relayouts
+    dominate. Kept for narrow-C chain use; the Generator keeps C>128 on
+    XLA. Same layouts/semantics as fused_resblocks_pallas."""
+    return _fused_resblocks_fwd_impl(
+        x, (w,), (b,), (kernel_size,), dilations, tile, mxu_bf16, interpret,
+    )
+
+
+def _fused_rb1_vjp_fwd(x, w, b, kernel_size, dilations, tile, mxu_bf16,
+                       interpret):
+    out = _fused_resblocks_fwd_impl(
+        x, (w,), (b,), (kernel_size,), dilations, tile, mxu_bf16, interpret,
+    )
+    return out, (x, w, b)
+
+
+def _fused_rb1_vjp_bwd(kernel_size, dilations, tile, mxu_bf16, interpret,
+                       res, g):
+    x, w, b = res
+    _, vjp = jax.vjp(
+        lambda x_, w_, b_: resblocks_reference(
+            x_, (w_,), (b_,), (kernel_size,), dilations
+        ),
+        x, w, b,
+    )
+    return vjp(g)
+
+
+fused_resblock_chain_pallas.defvjp(_fused_rb1_vjp_fwd, _fused_rb1_vjp_bwd)

@@ -244,3 +244,26 @@ def test_log_mel_mxu_backend_matches():
     finally:
         spectral.set_mag_backend("auto")
     np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_fused_resblock_chain_matches_reference():
+    """Single-resblock chain kernel (wide-stage path) == reference chain."""
+    from ddsp_svc_tpu.ops.pallas_kernels import (
+        fused_resblock_chain_pallas, resblocks_reference,
+    )
+
+    rng = np.random.default_rng(12)
+    k, dils, c, t = 7, (1, 3, 5), 16, 500
+    x = jnp.asarray(rng.standard_normal((2, t, c)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((3, 2, k, c, c)).astype(np.float32)
+        * (2.0 / (k * c)) ** 0.5
+    )
+    b = jnp.asarray((rng.standard_normal((3, 2, c)) * 0.01).astype(np.float32))
+    ref = resblocks_reference(x, (w,), (b,), (k,), dils)
+    got = fused_resblock_chain_pallas(
+        x, w, b, k, dilations=dils, tile=256, mxu_bf16=False, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )
