@@ -12,6 +12,8 @@ vs_baseline = realtime_factor / 100 (the reference publishes no numbers; the
 operative target is >100x realtime per chip, BASELINE.md).
 """
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -107,6 +109,9 @@ def main():
             acc += run(units + 0.01 * i, noise * (1.0 - 0.001 * i))
         batch_dt.append((time.perf_counter() - st) / per_batch)
     assert np.isfinite(acc)
+    if os.environ.get("BENCH_DEBUG"):
+        print("batch_dt ms:", [round(1e3 * d, 1) for d in batch_dt],
+              file=sys.stderr, flush=True)
     dt = float(np.median(batch_dt))
 
     audio_seconds = b * n_frames * block / sr

@@ -98,6 +98,11 @@ class NsfHifiGAN:
             self.h["num_mels"],
             self.h["fmin"],
             self.h["fmax"],
+            # staged-bf16 inference also takes the mel transform through the
+            # bf16 MXU DFT (same ~2^-9 magnitude-error class as the bf16
+            # generator stages; 22 -> ~5 ms at the batch-32 headline)
+            mxu_bf16=bool(self.model.bf16_min_channels)
+            or self.model.dtype == jnp.bfloat16,
         )  # (B, M, F)
         mel = jnp.swapaxes(mel, 1, 2)
         f0_frames = f0_frames[:, : mel.shape[1]]

@@ -95,6 +95,37 @@ def harmonic_source_fused(
     return jnp.tanh(lin).reshape(bsz, f * upp)[..., None]
 
 
+def harmonic_source_auto(
+    f0_frames: jnp.ndarray,
+    upp: int,
+    sr: int,
+    rand_ini: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    harmonic_num: int = 8,
+    sine_amp: float = 0.1,
+) -> jnp.ndarray:
+    """harmonic_source_fused with the per-sample part fused in Pallas on TPU:
+    the XLA path materializes the (B, F, upp, H) sine bank in HBM (~300 MB,
+    33 ms at the batch-32 headline geometry); the kernel writes only the
+    merged audio. Frame-rate phase bookkeeping (the compensated scan) stays
+    in XLA — it is (B, F, H)-sized and sequential."""
+    if jax.default_backend() in ("cpu", "gpu") or upp % 128 != 0:
+        return harmonic_source_fused(
+            f0_frames, upp, sr, rand_ini, w, b, harmonic_num, sine_amp
+        )
+    from ..ops.pallas_kernels import harmonic_source_pallas
+
+    h = harmonic_num + 1
+    k = jnp.arange(1, h + 1, dtype=f0_frames.dtype)
+    rad = _wrap(f0_frames[..., None] * k / sr)
+    d = _wrap(rad * upp)
+    end = _cumsum_mod1_compensated(d, axis=1)
+    start = _wrap(end - d)
+    start = _wrap(start + rand_ini[:, None, :])
+    return harmonic_source_pallas(start, rad, w, b, upp, sine_amp)[..., None]
+
+
 class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
@@ -176,8 +207,11 @@ class Generator(nn.Module):
     # interpret mode off-TPU (tests).
     fused_resblocks: object = True
     # MXU input precision inside the fused kernel (fp32 accumulation and
-    # fp32 residual carries either way).
-    fused_mxu_bf16: bool = True
+    # fp32 residual carries either way). False measured ~5% faster at the
+    # fused widths (C<=64): TPU default dot precision truncates fp32 inputs
+    # on the MXU anyway, so the explicit pre-concat bf16 casts only add VPU
+    # work; weights at these widths fit VMEM in fp32.
+    fused_mxu_bf16: bool = False
 
     @nn.compact
     def __call__(
@@ -192,7 +226,7 @@ class Generator(nn.Module):
         lin = nn.Dense(1, name="source_linear")
         lin(jnp.zeros((1, 1, 9), jnp.float32))
         p_lin = self.variables["params"]["source_linear"]
-        har = harmonic_source_fused(
+        har = harmonic_source_auto(
             f0_frames, upp, self.sampling_rate, rand_ini,
             p_lin["kernel"][:, 0], p_lin["bias"][0],
         )  # (B, T, 1)
@@ -269,13 +303,13 @@ class Generator(nn.Module):
             if ch > 64:
                 return False
         elif stage_dtype == jnp.bfloat16:
-            # C<=128: whole trio in one kernel (fp32 weights at this width
-            # would blow VMEM, hence fused_mxu_bf16 required). C=256 was
-            # tried via per-resblock chain kernels and measured SLOWER than
-            # XLA's bf16 convs (93 vs 64 ms A/B medians at batch 32, T=4096
-            # — wide channels fill the MXU fine and the per-tap roll
-            # relayouts dominate), so wide stages stay on XLA.
-            if ch > 128 or not self.fused_mxu_bf16:
+            # bf16 stages with C>=128 stay on XLA: its bf16 convs fill the
+            # MXU fine at these widths and beat the kernel's roll-im2col
+            # relayouts (amortized A/B at batch 32: C=128 trio 36 ms XLA vs
+            # 43 ms fused; C=256 single-chain kernels lost 93 vs 64 ms).
+            # Narrow bf16 stages (full-bf16 mode) still win fused: XLA bf16
+            # measured 48/95/87 ms at C=64/32/16 vs ~30 ms fused.
+            if ch > 64:
                 return False
         else:
             return False
@@ -296,9 +330,7 @@ class Generator(nn.Module):
         The flax modules are still invoked once on a dummy frame so the
         parameter tree (and checkpoint format) is identical to the unfused
         path; the real compute reads those params directly."""
-        from ..ops.pallas_kernels import (
-            fused_resblock_chain_pallas, fused_resblocks_pallas,
-        )
+        from ..ops.pallas_kernels import fused_resblocks_pallas
 
         dummy = jnp.zeros((1, 1, ch), x.dtype)
         for r in rbs:
@@ -320,15 +352,6 @@ class Generator(nn.Module):
         ks = tuple(int(k) for k in self.resblock_kernel_sizes)
         dils = tuple(int(d) for d in self.resblock_dilation_sizes[0])
         interp = jax.default_backend() in ("cpu", "gpu")
-        if ch > 128:  # trio weights exceed VMEM: one kernel per resblock
-            outs = [
-                fused_resblock_chain_pallas(
-                    x, w, bb, k, dilations=dils, tile=None,
-                    mxu_bf16=self.fused_mxu_bf16, interpret=interp,
-                )
-                for w, bb, k in zip(ws, bs, ks)
-            ]
-            return sum(outs) / len(outs)
         return fused_resblocks_pallas(
             x, *ws, *bs,
             kernel_sizes=ks, dilations=dils, tile=None,

@@ -94,6 +94,88 @@ def oscillator_bank_pallas(
     return out[:n_rows].reshape(b, t)
 
 
+# ------------------ fused NSF harmonic source (VPU) -------------------------
+#
+# SineGen + SourceModuleHnNSF merge (reference nsf_hifigan/models.py:139-218):
+# out[t] = tanh(b + sum_k w_k * amp * sin(2pi*(start_k + rad_k * s))) for
+# sample s within each frame. The XLA lowering (harmonic_source_fused)
+# materializes the (B, F, upp, H) sine bank in HBM (~300 MB at the batch-32
+# headline geometry — measured 33 ms, vs a ~0.1 ms traffic roof). Here each
+# program keeps its frames' H=9 per-harmonic phases in registers and writes
+# only the merged (rows, upp) audio; per harmonic the phase ramp is a scalar
+# fma over the frame, so the whole bank never exists anywhere.
+
+_HS_FR = 64  # frame rows per program (amortizes ~10 us/program fixed cost;
+# VMEM per program at upp=512: ~4 live (FR, upp) fp32 buffers = 0.5 MB)
+
+
+def _harmonic_source_kernel(start_ref, rad_ref, wb_ref, out_ref, *,
+                            upp: int, n_h: int, sine_amp: float):
+    s = (
+        1.0
+        + jax.lax.broadcasted_iota(jnp.int32, (1, upp), 1).astype(jnp.float32)
+    )
+    acc = None
+    for k in range(n_h):
+        ph = start_ref[:, k][:, None] + rad_ref[:, k][:, None] * s
+        # wrap to (-0.5, 0.5] rotations before the sine: |arg| <= pi skips
+        # the transcendental's large-argument reduction path (the in-frame
+        # ramp reaches |ph| ~ upp/2 rotations, where fp32 sin is slow and no
+        # more accurate than the wrapped form — the phase itself already
+        # carries ulp(ph) quantization)
+        ph = ph - jnp.round(ph)
+        term = wb_ref[0, k] * jnp.sin(2.0 * np.pi * ph)
+        acc = term if acc is None else acc + term
+    out_ref[:, :] = jnp.tanh(sine_amp * acc + wb_ref[0, n_h])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("upp", "sine_amp", "interpret")
+)
+def harmonic_source_pallas(
+    start: jnp.ndarray,
+    rad: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    upp: int,
+    sine_amp: float = 0.1,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused harmonic source. start/rad :: (B, F, H) per-frame start rotation
+    and per-sample rotation increment; w :: (H,), b :: scalar (the
+    SourceModuleHnNSF merge Linear). Returns tanh-merged audio (B, F*upp)."""
+    bsz, f, h = start.shape
+    n_rows = bsz * f
+    fr = _HS_FR
+    rows_pad = (-n_rows) % fr
+    h_pad = 128  # one lane tile; h is tiny (9)
+    pack = lambda a: jnp.pad(
+        a.reshape(n_rows, h), ((0, rows_pad), (0, h_pad - h))
+    )
+    wb = jnp.concatenate([w, jnp.asarray(b)[None]])
+    wb = jnp.pad(wb, (0, h_pad - h - 1))[None, :]
+    kernel = functools.partial(
+        _harmonic_source_kernel, upp=upp, n_h=h, sine_amp=sine_amp
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rows + rows_pad, upp), jnp.float32),
+        grid=((n_rows + rows_pad) // fr,),
+        in_specs=[
+            pl.BlockSpec((fr, h_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fr, h_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((fr, upp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(pack(start), pack(rad), wb)
+    return out[:n_rows].reshape(bsz, f * upp)
+
+
 # ----------------------- magnitude STFT as MXU DFT --------------------------
 #
 # The multi-resolution spectral loss evaluates |STFT| at sizes 128..2048 every
@@ -113,7 +195,8 @@ def _dft_mag_kernel(frames_ref, cos_ref, sin_ref, out_ref):
     out_ref[:, :] = jnp.sqrt(re * re + im * im + 1e-12)
 
 
-def _dft_mag_fwd_impl(frames: jnp.ndarray, n_fft: int, interpret: bool) -> jnp.ndarray:
+def _dft_mag_fwd_impl(frames: jnp.ndarray, n_fft: int, interpret: bool,
+                      mxu_bf16: bool = False) -> jnp.ndarray:
     from .spectral import _dft_matrices
 
     nf, n = frames.shape
@@ -122,10 +205,14 @@ def _dft_mag_fwd_impl(frames: jnp.ndarray, n_fft: int, interpret: bool) -> jnp.n
     cos_np, sin_np = _dft_matrices(n_fft)
     kt = 128
     bins_pad = ((bins + kt - 1) // kt) * kt
-    cos = jnp.asarray(np.pad(cos_np, ((0, 0), (0, bins_pad - bins))))
-    sin = jnp.asarray(np.pad(sin_np, ((0, 0), (0, bins_pad - bins))))
+    in_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    cos = jnp.asarray(np.pad(cos_np, ((0, 0), (0, bins_pad - bins))),
+                      dtype=in_dtype)
+    sin = jnp.asarray(np.pad(sin_np, ((0, 0), (0, bins_pad - bins))),
+                      dtype=in_dtype)
     ft = 128
     nf_pad = ((nf + ft - 1) // ft) * ft
+    frames = frames.astype(in_dtype)
     if nf_pad != nf:
         frames = jnp.pad(frames, ((0, nf_pad - nf), (0, 0)))
     out = pl.pallas_call(
@@ -147,18 +234,23 @@ def _dft_mag_fwd_impl(frames: jnp.ndarray, n_fft: int, interpret: bool) -> jnp.n
     return out[:nf, :bins]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def dft_magnitude_pallas(frames, n_fft: int, interpret: bool = False):
-    """|rfft(frames, n_fft)| as an MXU matmul. frames :: (F, n_fft)."""
-    return _dft_mag_fwd_impl(frames, n_fft, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def dft_magnitude_pallas(frames, n_fft: int, interpret: bool = False,
+                         mxu_bf16: bool = False):
+    """|rfft(frames, n_fft)| as an MXU matmul. frames :: (F, n_fft).
+
+    mxu_bf16=True feeds the MXU bf16 inputs (fp32 accumulation): 4x the
+    matmul rate for ~2^-9 relative magnitude error — the staged-bf16
+    enhancer configuration uses this for the mel frontend."""
+    return _dft_mag_fwd_impl(frames, n_fft, interpret, mxu_bf16)
 
 
-def _dft_mag_vjp_fwd(frames, n_fft, interpret):
-    mag = _dft_mag_fwd_impl(frames, n_fft, interpret)
+def _dft_mag_vjp_fwd(frames, n_fft, interpret, mxu_bf16):
+    mag = _dft_mag_fwd_impl(frames, n_fft, interpret, mxu_bf16)
     return mag, (frames, mag)
 
 
-def _dft_mag_vjp_bwd(n_fft, interpret, res, g):
+def _dft_mag_vjp_bwd(n_fft, interpret, mxu_bf16, res, g):
     from .spectral import _dft_matrices
 
     frames, mag = res

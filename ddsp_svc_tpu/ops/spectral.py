@@ -290,20 +290,30 @@ def log_mel_spectrogram(
     fmin: float,
     fmax: float,
     clip_val: float = 1e-5,
+    mxu_bf16: bool = False,
 ) -> jnp.ndarray:
     """NSF-HiFiGAN mel frontend (nvSTFT.get_mel parity, keyshift=0 path).
 
     Manual asymmetric padding then center=False STFT; log(clamp(mel, clip)).
     :: (B, T) -> (B, n_mels, n_frames)
+
+    mxu_bf16=True runs the transform as a bf16-input MXU DFT matmul (fp32
+    accumulation) instead of the fp32 FFT: measured 22 -> ~5 ms at the
+    batch-32 headline geometry for ~2^-9 relative magnitude error — the
+    staged-bf16 enhancer inference configuration.
     """
     pad_l = (win_length - hop) // 2
     pad_r = max((win_length - hop + 1) // 2, hop)
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_l, pad_r)], mode="reflect")
     win = hann_window(win_length, dtype=x.dtype)
     # the TPU FFT op only exists for power-of-2 sizes; route others through
-    # the MXU DFT kernel. (For pow2 sizes the FFT op wins: measured 31 ms vs
-    # 87 ms for the fp32 Pallas DFT at the batch-8 serving shape.)
-    if _resolve_mag_backend() == "mxu" and (n_fft & (n_fft - 1)) != 0:
+    # the MXU DFT kernel. (For pow2 sizes the fp32 FFT op beats the fp32
+    # Pallas DFT — 31 vs 87 ms at the batch-8 serving shape — but the bf16
+    # MXU DFT beats both when the caller allows it.)
+    use_mxu = _resolve_mag_backend() == "mxu" and (
+        mxu_bf16 or (n_fft & (n_fft - 1)) != 0
+    )
+    if use_mxu:
         from .pallas_kernels import dft_magnitude_pallas
 
         if win_length < n_fft:
@@ -314,6 +324,7 @@ def log_mel_spectrogram(
         mag = dft_magnitude_pallas(
             frames.reshape(b * f, n), n_fft,
             jax.default_backend() in ("cpu", "gpu"),
+            mxu_bf16,
         ).reshape(b, f, n_fft // 2 + 1)
     else:
         spec = stft(x, n_fft, hop, win, center=False)

@@ -267,3 +267,49 @@ def test_fused_resblock_chain_matches_reference():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
     )
+
+
+def test_harmonic_source_pallas_matches_fused():
+    """Kernel (interpret) vs the XLA sine-bank formulation, rand phases."""
+    from ddsp_svc_tpu.nn.nsf_hifigan import harmonic_source_fused
+    from ddsp_svc_tpu.ops.pallas_kernels import harmonic_source_pallas
+    from ddsp_svc_tpu.ops.phase import _cumsum_mod1_compensated, _wrap
+
+    rng = np.random.default_rng(7)
+    b, f, upp, sr, h = 2, 5, 128, 44100, 9
+    f0 = jnp.asarray((100 + 500 * rng.random((b, f))).astype(np.float32))
+    rand_ini = jnp.asarray(
+        rng.random((b, h)).astype(np.float32)
+    ).at[:, 0].set(0.0)
+    w = jnp.asarray(rng.standard_normal(h).astype(np.float32))
+    bias = jnp.float32(0.03)
+    ref = harmonic_source_fused(f0, upp, sr, rand_ini, w, bias)[..., 0]
+
+    k = jnp.arange(1, h + 1, dtype=jnp.float32)
+    rad = _wrap(f0[..., None] * k / sr)
+    d = _wrap(rad * upp)
+    end = _cumsum_mod1_compensated(d, axis=1)
+    start = _wrap(_wrap(end - d) + rand_ini[:, None, :])
+    got = harmonic_source_pallas(start, rad, w, bias, upp, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_log_mel_mxu_bf16_tracks_fp32():
+    """bf16-input MXU DFT mel (staged-bf16 inference path) stays within the
+    bf16 rounding class of the fp32 transform in the log-mel domain."""
+    from ddsp_svc_tpu.ops import spectral
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray((rng.standard_normal((2, 4096)) * 0.2).astype(np.float32))
+    args = (16000, 512, 128, 512, 16, 40.0, 8000.0)
+    ref = np.asarray(spectral.log_mel_spectrogram(x, *args))
+    spectral.set_mag_backend("mxu")
+    try:
+        got = np.asarray(
+            spectral.log_mel_spectrogram(x, *args, mxu_bf16=True)
+        )
+    finally:
+        spectral.set_mag_backend("auto")
+    # log-domain absolute error ~ relative magnitude error (~2^-8 class)
+    assert float(np.max(np.abs(got - ref))) < 0.1
+    assert float(np.mean(np.abs(got - ref))) < 0.01
