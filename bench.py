@@ -45,11 +45,11 @@ def main():
     sr, block, n_unit = 44100, 512, 256
     n_frames = 512  # ~5.9 s of audio per item
     # throughput configuration: the metric is audio-seconds/s *per chip*
-    # (BASELINE.md), so batch the offline/serving-style workload. Relay
-    # dispatch overhead dominates small batches (batch 16 measured the SAME
-    # wall per call as batch 8); batch 32 measured 565x vs 225x at batch 8
-    # in the same window.
-    b = 32
+    # (BASELINE.md), so batch the offline/serving-style workload and keep
+    # two dispatches in flight (hides the ~20 ms relay round-trip; standard
+    # serving-style pipelining). Same-window sweep: b=32 786x, b=64 977x,
+    # b=128 1204x, b=192 1163x (HBM pressure), b=256 OOM -> b=128.
+    b = 128
 
     # seed from wall clock: the execution relay content-addresses dispatches,
     # so repeated runs with identical inputs would measure cache hits
@@ -87,26 +87,32 @@ def main():
 
     fwd = jax.jit(full)
 
-    def run(u, n):
-        # force real execution: block_until_ready alone is not a reliable
-        # barrier on relayed/experimental backends — read the scalar back
-        return float(
-            fwd(variables, nsf.variables, u, f0, volume, spk_id, n, rand_ini)
-        )
+    def issue(u, n):
+        return fwd(variables, nsf.variables, u, f0, volume, spk_id, n, rand_ini)
 
-    run(units, noise)  # compile + warmup
+    # force real execution: block_until_ready alone is not a reliable
+    # barrier on relayed/experimental backends — read the scalar back
+    float(issue(units, noise))  # compile + warmup
 
     # Relay latency drifts minute-to-minute; time several small batches
     # (inputs varied per call — the relay content-addresses executions) and
     # take the median batch so one hiccup doesn't define the round's number.
+    # Two dispatches stay in flight; each iteration blocks on the oldest.
+    from collections import deque
+
     n_batches, per_batch = 5, 4
     acc, batch_dt = 0.0, []
+    pending = deque()
     i = 0
     for _ in range(n_batches):
         st = time.perf_counter()
         for _ in range(per_batch):
             i += 1
-            acc += run(units + 0.01 * i, noise * (1.0 - 0.001 * i))
+            pending.append(issue(units + 0.01 * i, noise * (1.0 - 0.001 * i)))
+            if len(pending) >= 2:
+                acc += float(pending.popleft())
+        while pending:
+            acc += float(pending.popleft())
         batch_dt.append((time.perf_counter() - st) / per_batch)
     assert np.isfinite(acc)
     if os.environ.get("BENCH_DEBUG"):

@@ -212,6 +212,15 @@ class Generator(nn.Module):
     # on the MXU anyway, so the explicit pre-concat bf16 casts only add VPU
     # work; weights at these widths fit VMEM in fp32.
     fused_mxu_bf16: bool = False
+    # Fold the transposed-conv upsample + f0-source injection conv into the
+    # fused stage kernel (fp32 narrow stages). Measured a NET LOSS at the
+    # batch-32 headline (full generator 197 vs 177 ms): Mosaic cannot
+    # rate-change lanes (no element-wise repeat / strided lane access /
+    # interleave reshape), so the kernel must read a u-repeated full-rate
+    # input window, doubling its HBM read and roll bytes — more than the
+    # saved XLA up/noise round-trips. Kept as an option pending a Mosaic
+    # interleave primitive.
+    fused_stage: bool = False
 
     @nn.compact
     def __call__(
@@ -251,21 +260,22 @@ class Generator(nn.Module):
                 )
                 if stage_dtype is not None:
                     x = x.astype(stage_dtype)
-            x = _leaky(x)
-            x = ConvTranspose1dTorch(
+            stride_f0 = (
+                int(np.prod(self.upsample_rates[i + 1 :]))
+                if i + 1 < n_up else 1
+            )
+            up_mod = ConvTranspose1dTorch(
                 ch, k, u, (k - u) // 2, name=f"up_{i}", dtype=stage_dtype
-            )(x)
+            )
             if i + 1 < n_up:
-                stride_f0 = int(np.prod(self.upsample_rates[i + 1 :]))
-                xs_src = nn.Conv(
+                nc_mod = nn.Conv(
                     ch, (stride_f0 * 2,), strides=(stride_f0,),
                     padding=((stride_f0 // 2, stride_f0 // 2),),
                     name=f"noise_conv_{i}", dtype=stage_dtype,
-                )(har)
+                )
             else:
-                xs_src = nn.Conv(ch, (1,), name=f"noise_conv_{i}",
-                                 dtype=stage_dtype)(har)
-            x = x + xs_src[:, : x.shape[1], :]
+                nc_mod = nn.Conv(ch, (1,), name=f"noise_conv_{i}",
+                                 dtype=stage_dtype)
             rbs = [
                 ResBlock1(
                     ch, rk, tuple(rd), name=f"resblock_{i}_{j}",
@@ -276,6 +286,18 @@ class Generator(nn.Module):
                         self.resblock_dilation_sizes)
                 )
             ]
+            if self._use_fused(ch, stage_dtype) and self._stage_fusable(
+                x.shape[-1], u, k, stage_dtype
+            ):
+                x = self._fused_stage(
+                    up_mod, nc_mod, rbs, x, har, i, ch, u, k, stride_f0
+                )
+                x = self._finish_stage(x, i, n_up, stage_dtype)
+                continue
+            x = _leaky(x)
+            x = up_mod(x)
+            xs_src = nc_mod(har)
+            x = x + xs_src[:, : x.shape[1], :]
             if self._use_fused(ch, stage_dtype):
                 x = self._fused_trio(rbs, x, i, ch)
             else:
@@ -284,10 +306,7 @@ class Generator(nn.Module):
                     r_out = r(x)
                     xs = r_out if xs is None else xs + r_out
                 x = xs / n_kernels
-            if self.bf16_min_channels and stage_dtype is not None:
-                next_ch = self.upsample_initial_channel // (2 ** (i + 2))
-                if i + 1 >= n_up or next_ch < self.bf16_min_channels:
-                    x = x.astype(jnp.float32)  # hand off to the fp32 tail
+            x = self._finish_stage(x, i, n_up, stage_dtype)
         x = _leaky(x, 0.01)  # final leaky_relu uses torch default slope (models.py:272)
         x = nn.Conv(1, (7,), padding=((3, 3),), name="conv_post",
                     dtype=self.dtype)(x)
@@ -323,6 +342,64 @@ class Generator(nn.Module):
         if self.fused_resblocks == "force":  # tests: interpret mode off-TPU
             return True
         return jax.default_backend() not in ("cpu", "gpu")
+
+    def _finish_stage(self, x, i: int, n_up: int, stage_dtype) -> jnp.ndarray:
+        if self.bf16_min_channels and stage_dtype is not None:
+            next_ch = self.upsample_initial_channel // (2 ** (i + 2))
+            if i + 1 >= n_up or next_ch < self.bf16_min_channels:
+                x = x.astype(jnp.float32)  # hand off to the fp32 tail
+        return x
+
+    def _stage_fusable(self, c_in: int, u: int, k: int, stage_dtype) -> bool:
+        if not self.fused_stage or stage_dtype is not None:
+            return False
+        # in-kernel transposed conv assumes the generator geometry k == 2u
+        # (exact u-fold upsample) and the trio halo's phase alignment
+        if k != 2 * u or c_in % 8 != 0:
+            return False
+        from ..ops.pallas_kernels import _RB_HALO
+
+        return _RB_HALO % u == 0
+
+    def _fused_stage(self, up_mod, nc_mod, rbs, x, har, i: int, ch: int,
+                     u: int, k: int, stride_f0: int) -> jnp.ndarray:
+        """Run leaky -> upsample -> source injection -> trio as one Pallas
+        pass. Modules are invoked on dummies so the parameter tree (and
+        checkpoint format) is identical to the unfused path."""
+        from ..ops.pallas_kernels import fused_stage_pallas
+
+        c_in = x.shape[-1]
+        up_mod(jnp.zeros((1, 1, c_in), x.dtype))
+        nc_mod(jnp.zeros((1, max(2 * stride_f0, 1), 1), har.dtype))
+        dummy = jnp.zeros((1, 1, ch), x.dtype)
+        for r in rbs:
+            r(dummy)
+        pv = self.variables["params"]
+        n_dil = len(self.resblock_dilation_sizes[0])
+        ws, bs = [], []
+        for j in range(3):
+            p = pv[f"resblock_{i}_{j}"]
+            ws.append(jnp.stack([
+                jnp.stack([p[f"conv1_{n}"]["kernel"],
+                           p[f"conv2_{n}"]["kernel"]])
+                for n in range(n_dil)
+            ]))
+            bs.append(jnp.stack([
+                jnp.stack([p[f"conv1_{n}"]["bias"], p[f"conv2_{n}"]["bias"]])
+                for n in range(n_dil)
+            ]))
+        ks = tuple(int(kk) for kk in self.resblock_kernel_sizes)
+        dils = tuple(int(d) for d in self.resblock_dilation_sizes[0])
+        interp = jax.default_backend() in ("cpu", "gpu")
+        up_p = pv[f"up_{i}"]
+        nc_p = pv[f"noise_conv_{i}"]
+        return fused_stage_pallas(
+            x, har, up_p["kernel"], up_p["bias"], nc_p["kernel"],
+            nc_p["bias"], *ws, *bs,
+            u, (k - u) // 2, stride_f0,
+            kernel_sizes=ks, dilations=dils, tile=None,
+            mxu_bf16=self.fused_mxu_bf16, interpret=interp,
+        )
 
     def _fused_trio(self, rbs, x, i: int, ch: int) -> jnp.ndarray:
         """Run the stage's resblock trio as one VMEM-resident Pallas pass.

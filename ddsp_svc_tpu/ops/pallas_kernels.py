@@ -433,6 +433,7 @@ ltv_fir_convolve_pallas.defvjp(_ltv_conv_vjp_fwd, _ltv_conv_vjp_bwd)
 # residual carries — tighter than casting whole stages to bf16).
 
 _RB_HALO = 64  # >= cumulative receptive margin: max_k 6*(k-1) = 60 (k=11)
+_PER_TAP = False  # experiment switch: per-tap dots instead of roll-im2col
 
 
 def _leaky_k(x, slope=0.1):
@@ -495,24 +496,11 @@ def _rb_conv_cf(h, mask, w_ref, b_ref, i, j, k, d, n_ch, mxu_bf16,
     return acc + b_ref[i, j, 0, :n_ch][:, None]
 
 
-def _fused_rb_kernel(
-    *refs,
-    kernel_sizes, dilations, mxu_bf16, n_tiles, tile, seq_len,
-    roll_im2col,
-):
-    n_rb = len(kernel_sizes)
-    x_ref = refs[0]
-    w_refs = refs[1 : 1 + n_rb]
-    b_refs = refs[1 + n_rb : 1 + 2 * n_rb]
-    out_ref = refs[1 + 2 * n_rb]
-    x = x_ref[0]  # (C, W) fp32
-    n_ch, width = x.shape
-    tile_idx = pl.program_id(0) % n_tiles
-    g = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
-        + tile_idx * tile - _RB_HALO
-    )
-    mask = ((g >= 0) & (g < seq_len)).astype(x.dtype)
+def _trio_chain(x, mask, w_refs, b_refs, kernel_sizes, dilations, mxu_bf16,
+                roll_im2col):
+    """Resblock-trio chain on a VMEM tile (shared by the trio and stage
+    kernels). x :: (C, W) fp32."""
+    n_ch = x.shape[0]
     acc = None
     for w_ref, b_ref, k in zip(w_refs, b_refs, kernel_sizes):
         h = x
@@ -525,7 +513,36 @@ def _fused_rb_kernel(
                             mxu_bf16, roll_im2col)
             h = h + t
         acc = h if acc is None else acc + h
-    out_ref[0] = (acc / len(kernel_sizes))[:, _RB_HALO:-_RB_HALO]
+    return acc / len(kernel_sizes)
+
+
+def _fused_rb_kernel(
+    *refs,
+    kernel_sizes, dilations, mxu_bf16, n_tiles, tile, seq_len,
+    roll_im2col, split=1,
+):
+    n_rb = len(kernel_sizes)
+    x_ref = refs[0]
+    w_refs = refs[1 : 1 + n_rb]
+    b_refs = refs[1 + n_rb : 1 + 2 * n_rb]
+    out_ref = refs[1 + 2 * n_rb]
+    x = x_ref[0]  # (C, W) fp32
+    tile_idx = pl.program_id(0) % n_tiles
+    # split > 1 carves the tile into independent half-chains (each with its
+    # own halo): their DAGs have no data dependence, letting the scheduler
+    # overlap one half's im2col relayouts (VPU) with the other's conv dots
+    # (MXU) — the chain itself is strictly serial per position.
+    sub = tile // split
+    for si in range(split):
+        xs = x[:, si * sub : si * sub + sub + 2 * _RB_HALO]
+        g = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, xs.shape[1]), 1)
+            + tile_idx * tile + si * sub - _RB_HALO
+        )
+        mask = ((g >= 0) & (g < seq_len)).astype(x.dtype)
+        acc = _trio_chain(xs, mask, w_refs, b_refs, kernel_sizes, dilations,
+                          mxu_bf16, roll_im2col)
+        out_ref[0, :, si * sub : (si + 1) * sub] = acc[:, _RB_HALO:-_RB_HALO]
 
 
 def resblocks_reference(x, weights, biases, kernel_sizes, dilations):
@@ -557,6 +574,7 @@ def resblocks_reference(x, weights, biases, kernel_sizes, dilations):
 
 def _fused_resblocks_fwd_impl(
     x, weights, biases, kernel_sizes, dilations, tile, mxu_bf16, interpret,
+    split=1,
 ):
     b, t, c = x.shape
     if tile is None:
@@ -591,10 +609,15 @@ def _fused_resblocks_fwd_impl(
         w_in.append(wt)
         b_in.append(bp)
 
+    if tile % (split * 128) != 0:
+        split = 1
     kernel = functools.partial(
         _fused_rb_kernel, kernel_sizes=kernel_sizes, dilations=dilations,
         mxu_bf16=mxu_bf16, n_tiles=n_tiles, tile=tile, seq_len=t,
-        roll_im2col=not interpret,  # pltpu.roll has no interpret lowering
+        # pltpu.roll has no interpret lowering; _PER_TAP forces the
+        # per-tap-dot path for A/B experiments
+        roll_im2col=not interpret and not _PER_TAP,
+        split=split,
     )
     full = lambda arr: pl.BlockSpec(
         arr.shape, lambda r: (0,) * arr.ndim, memory_space=pltpu.VMEM
@@ -616,11 +639,11 @@ def _fused_resblocks_fwd_impl(
     return out.reshape(b, t_pad, c)[:, :t].astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def fused_resblocks_pallas(
     x, w0, w1, w2, b0, b1, b2,
     kernel_sizes=(3, 7, 11), dilations=(1, 3, 5), tile=None,
-    mxu_bf16=True, interpret=False,
+    mxu_bf16=True, interpret=False, split=1,
 ):
     """NSF-HiFiGAN resblock trio fused in VMEM. x :: (B, T, C) channel-last;
     w_r :: (n_dil, 2, k_r, C_in, C_out); b_r :: (n_dil, 2, C). tile=None
@@ -628,23 +651,23 @@ def fused_resblocks_pallas(
     (resblocks_reference)."""
     return _fused_resblocks_fwd_impl(
         x, (w0, w1, w2), (b0, b1, b2), kernel_sizes, dilations, tile,
-        mxu_bf16, interpret,
+        mxu_bf16, interpret, split,
     )
 
 
 def _fused_rb_vjp_fwd(
     x, w0, w1, w2, b0, b1, b2, kernel_sizes, dilations, tile, mxu_bf16,
-    interpret,
+    interpret, split,
 ):
     out = _fused_resblocks_fwd_impl(
         x, (w0, w1, w2), (b0, b1, b2), kernel_sizes, dilations, tile,
-        mxu_bf16, interpret,
+        mxu_bf16, interpret, split,
     )
     return out, (x, w0, w1, w2, b0, b1, b2)
 
 
 def _fused_rb_vjp_bwd(kernel_sizes, dilations, tile, mxu_bf16, interpret,
-                      res, g):
+                      split, res, g):
     x, w0, w1, w2, b0, b1, b2 = res
     _, vjp = jax.vjp(
         lambda x_, *wb: resblocks_reference(
@@ -696,3 +719,291 @@ def _fused_rb1_vjp_bwd(kernel_size, dilations, tile, mxu_bf16, interpret,
 
 
 fused_resblock_chain_pallas.defvjp(_fused_rb1_vjp_fwd, _fused_rb1_vjp_bwd)
+
+
+# ---------------- fused NSF-HiFiGAN stage (up + source + trio) --------------
+#
+# The narrow fp32 stages' transposed-conv upsample and f0-source injection
+# conv (reference models.py:257-270) are HBM-bound XLA ops bracketing the
+# fused trio: measured 8-14 ms per stage at batch 32 while their compute is
+# negligible. This kernel computes the whole stage on the trio's VMEM tile:
+# leaky -> stride-u transposed conv (per-phase tap dots on the pre-upsample
+# window) -> + strided source conv (pre-im2col'd at frame rate in XLA) ->
+# resblock trio. HBM sees the pre-upsample input (1/u the bytes of the
+# upsampled activation the trio kernel used to read) and the stage output.
+
+
+def _upconv_phase_taps(k: int, u: int, p: int):
+    """Static tap table for the in-kernel transposed conv.
+
+    Output column t (== phase phi mod u, after even tile/halo alignment)
+    sums kernel[k-1-kappa].T @ x[m' + rel] over the phase's (kappa, rel)
+    pairs, where m' = t // u indexes the pre-upsample window. Derived from
+    ConvTranspose1dTorch's lowering: conv of the u-dilated input with the
+    flipped kernel, padding k-1-p."""
+    e = k - 1 - p
+    taps = []
+    for phi in range(u):
+        k0 = (e - phi) % u
+        taps.append([(kap, (phi - e + kap) // u) for kap in range(k0, k, u)])
+    n_taps = max(len(l) for l in taps)
+    rels = [r for l in taps for (_, r) in l]
+    return taps, n_taps, min(rels), max(rels)
+
+
+def _fused_stage_kernel(
+    x_ref, har_ref, wup_ref, bup_ref, wnc_ref, bnc_ref, *refs,
+    kernel_sizes, dilations, taps, u, c_in, c_out, ksrc,
+    mxu_bf16, n_tiles, tile, seq_len, roll_im2col,
+):
+    n_rb = len(kernel_sizes)
+    w_refs = refs[:n_rb]
+    b_refs = refs[n_rb : 2 * n_rb]
+    out_ref = refs[2 * n_rb]
+    width = tile + 2 * _RB_HALO
+    tile_idx = pl.program_id(0) % n_tiles
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    g = col + tile_idx * tile - _RB_HALO
+    mask = ((g >= 0) & (g < seq_len)).astype(jnp.float32)
+
+    # Transposed conv on the u-repeated input window (x_ref[:, t] ==
+    # x_pre[(g0 + t) // u], built by the XLA pre-tiler): output phase phi
+    # tap rel reads repeated column t + (u*rel - phi), which floor-divides
+    # to the right pre-upsample sample for every t of that phase. Phase
+    # lanes are then select-merged — no rate-changing reshape, which Mosaic
+    # does not support ('infer-vector-layout: unsupported shape cast').
+    xin = _leaky_k(x_ref[0][:c_in])  # (C_in, width)
+    if not roll_im2col:
+        kpad = 2 * u * max(
+            abs(rel) for lst in taps for (_, rel) in lst
+        ) + u
+        xin_p = jnp.pad(xin, ((0, 0), (kpad, kpad)))
+    if u == 1:
+        acc = None
+        for j, (_, rel) in enumerate(taps[0]):
+            sh = (
+                pltpu.roll(xin, (-rel) % width, axis=1)
+                if roll_im2col else xin_p[:, kpad + rel : kpad + rel + width]
+            )
+            d = jax.lax.dot(wup_ref[0, j, :, :c_in], sh,
+                            preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        up = acc
+    else:
+        colmod = col % u  # g0 is a multiple of u (tile/halo alignment)
+        up = jnp.zeros((c_out, width), jnp.float32)
+        for phi in range(u):
+            acc = None
+            for j, (_, rel) in enumerate(taps[phi]):
+                s = u * rel - phi
+                sh = (
+                    pltpu.roll(xin, (-s) % width, axis=1)
+                    if roll_im2col else xin_p[:, kpad + s : kpad + s + width]
+                )
+                d = jax.lax.dot(wup_ref[phi, j, :, :c_in], sh,
+                                preferred_element_type=jnp.float32)
+                acc = d if acc is None else acc + d
+            up = jnp.where(colmod == phi, acc, up)
+    up = up + bup_ref[0, :c_out][:, None]
+
+    nc = jax.lax.dot(
+        wnc_ref[:, :ksrc], har_ref[0, :ksrc],
+        preferred_element_type=jnp.float32,
+    ) + bnc_ref[0, :c_out][:, None]
+
+    x0 = (up + nc) * mask
+    acc = _trio_chain(x0, mask, w_refs, b_refs, kernel_sizes, dilations,
+                      mxu_bf16, roll_im2col)
+    out_ref[0] = acc[:, _RB_HALO:-_RB_HALO]
+
+
+def stage_reference(
+    x_pre, har, up_kernel, up_bias, nc_kernel, nc_bias, weights, biases,
+    kernel_sizes, dilations, u, p, s_src,
+):
+    """Plain-XLA stage: leaky -> ConvTranspose(u) -> + source conv -> trio.
+
+    x_pre :: (B, T_in, C_in); har :: (B, T_final, 1); up_kernel :: (k, C_in,
+    C_out) in ConvTranspose1dTorch's flipped-ready layout; nc_kernel ::
+    (ksrc, 1, C_out) flax conv layout. Matches the Generator stage numerics
+    (nn/nsf_hifigan.py)."""
+    k = up_kernel.shape[0]
+    x = _leaky_k(x_pre)
+    y = jax.lax.conv_general_dilated(
+        jnp.transpose(x, (0, 2, 1)),
+        jnp.flip(up_kernel, 0).transpose(2, 1, 0),
+        window_strides=(1,), padding=[(k - 1 - p, k - 1 - p)],
+        lhs_dilation=(u,), dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    y = jnp.transpose(y, (0, 2, 1)) + up_bias
+    ksrc = nc_kernel.shape[0]
+    if ksrc == 1 and s_src == 1:
+        nc = har @ nc_kernel[0] + nc_bias
+    else:
+        nc = jax.lax.conv_general_dilated(
+            har, nc_kernel, window_strides=(s_src,),
+            padding=[(s_src // 2, s_src // 2)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        ) + nc_bias
+    x0 = y + nc[:, : y.shape[1]]
+    return resblocks_reference(x0, weights, biases, kernel_sizes, dilations)
+
+
+def _fused_stage_fwd_impl(
+    x_pre, har, up_kernel, up_bias, nc_kernel, nc_bias, weights, biases,
+    kernel_sizes, dilations, u, p, s_src, tile, mxu_bf16, interpret,
+):
+    b, t_in, c_in = x_pre.shape
+    k_up = up_kernel.shape[0]
+    c = up_kernel.shape[2]
+    t_out = (t_in - 1) * u - 2 * p + k_up
+    assert t_out == t_in * u, (t_out, t_in, u)  # generator geometry (k=2u)
+    if tile is None:
+        tile = min(8192, max(512, 131072 // c),
+                   max(128, -(-t_out // 128) * 128))
+    tile = -(-tile // (u * 128)) * (u * 128)  # phase alignment
+    halo = _RB_HALO
+    width = tile + 2 * halo
+    w2 = width // u
+    n_tiles = -(-t_out // tile)
+    t_pad = n_tiles * tile
+
+    taps, n_taps, rel_min, rel_max = _upconv_phase_taps(k_up, u, p)
+
+    # u-repeated pre-upsample input, windowed exactly like the trio tiles
+    # (the repeat/stack/pad fuse into one XLA gather; the kernel reads 1/u
+    # distinct bytes per lane but keeps tile-invariant static indexing)
+    x_cf = jnp.transpose(x_pre, (0, 2, 1)).astype(jnp.float32)
+    x_rep = jnp.repeat(x_cf, u, axis=2)  # (B, C_in, T_out)
+    xp = jnp.pad(x_rep, ((0, 0), (0, 0), (halo, halo + t_pad - t_out)))
+    xw = jnp.stack(
+        [xp[:, :, s : s + width] for s in range(0, t_pad, tile)], axis=1
+    ).reshape(b * n_tiles, c_in, width)
+
+    # source-conv im2col at output frame rate: column g (global out col, from
+    # -halo) tap tau reads har[g*s - s//2 + tau]
+    ksrc = nc_kernel.shape[0]
+    t_final = har.shape[1]
+    har2 = har[..., 0].astype(jnp.float32)
+    need = (t_pad + halo) * s_src + ksrc
+    harp = jnp.pad(
+        har2, ((0, 0), (halo * s_src + s_src // 2,
+                        max(0, need - s_src // 2 - t_final)))
+    )
+    imc = jnp.stack(
+        [harp[:, tau :: s_src][:, : t_pad + 2 * halo] for tau in range(ksrc)],
+        axis=1,
+    )  # (B, ksrc, t_pad + 2*halo)
+    ksrc_pad = -(-ksrc // 8) * 8
+    imc = jnp.pad(imc, ((0, 0), (0, ksrc_pad - ksrc), (0, 0)))
+    hw = jnp.stack(
+        [imc[:, :, r * tile : r * tile + width] for r in range(n_tiles)],
+        axis=1,
+    ).reshape(b * n_tiles, ksrc_pad, width)
+
+    # weights: up taps (u, n_taps, C_out, C_in pad 128); source (C, ksrc pad)
+    cin_pad = -(-c_in // 128) * 128
+    wup_j = jnp.zeros((u, n_taps, c, cin_pad), jnp.float32)
+    for phi in range(u):
+        for j, (kap, _) in enumerate(taps[phi]):
+            wup_j = wup_j.at[phi, j, :, :c_in].set(
+                jnp.transpose(up_kernel[k_up - 1 - kap], (1, 0))
+            )
+    bup = jnp.pad(up_bias[None, :], ((0, 7), (0, (-c) % 128)))
+    wnc = jnp.pad(
+        jnp.transpose(nc_kernel[:, 0, :], (1, 0)),
+        ((0, 0), (0, (-ksrc) % 128)),
+    )
+    bnc = jnp.pad(nc_bias[None, :], ((0, 7), (0, (-c) % 128)))
+
+    w_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    w_in, b_in = [], []
+    for w, bias in zip(weights, biases):
+        n_dil, _, k = w.shape[:3]
+        wt = jnp.transpose(w, (0, 1, 4, 2, 3)).reshape(n_dil, 2, c, k * c)
+        kc_pad = -(-(k * c) // 128) * 128
+        wt = jnp.pad(wt, ((0, 0),) * 3 + ((0, kc_pad - k * c),)).astype(w_dtype)
+        bp = jnp.pad(
+            bias[:, :, None, :], ((0, 0), (0, 0), (0, 7), (0, (-c) % 128))
+        ).astype(jnp.float32)
+        w_in.append(wt)
+        b_in.append(bp)
+
+    kernel = functools.partial(
+        _fused_stage_kernel, kernel_sizes=kernel_sizes, dilations=dilations,
+        taps=taps, u=u, c_in=c_in, c_out=c, ksrc=ksrc,
+        mxu_bf16=mxu_bf16, n_tiles=n_tiles, tile=tile, seq_len=t_out,
+        roll_im2col=not interpret,
+    )
+    full = lambda arr: pl.BlockSpec(
+        arr.shape, lambda r: (0,) * arr.ndim, memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * n_tiles, c, tile), jnp.float32),
+        grid=(b * n_tiles,),
+        in_specs=(
+            [
+                pl.BlockSpec((1, c_in, width), lambda r: (r, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ksrc_pad, width), lambda r: (r, 0, 0),
+                             memory_space=pltpu.VMEM),
+                full(wup_j), full(bup), full(wnc), full(bnc),
+            ]
+            + [full(a) for a in w_in] + [full(a) for a in b_in]
+        ),
+        out_specs=pl.BlockSpec((1, c, tile), lambda r: (r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xw, hw, wup_j, bup, wnc, bnc, *w_in, *b_in)
+    out = out.reshape(b, n_tiles, c, tile).transpose(0, 1, 3, 2)
+    return out.reshape(b, t_pad, c)[:, :t_out].astype(x_pre.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17, 18, 19))
+def fused_stage_pallas(
+    x_pre, har, up_kernel, up_bias, nc_kernel, nc_bias,
+    w0, w1, w2, b0, b1, b2,
+    u: int, p: int, s_src: int,
+    kernel_sizes=(3, 7, 11), dilations=(1, 3, 5), tile=None,
+    mxu_bf16: bool = False, interpret: bool = False,
+):
+    """Whole NSF-HiFiGAN stage fused in VMEM: leaky -> ConvTranspose(u, pad
+    p) -> + stride-s_src source conv of har -> resblock trio. Layouts as
+    stage_reference. Backward runs the XLA reference."""
+    return _fused_stage_fwd_impl(
+        x_pre, har, up_kernel, up_bias, nc_kernel, nc_bias,
+        (w0, w1, w2), (b0, b1, b2), kernel_sizes, dilations, u, p, s_src,
+        tile, mxu_bf16, interpret,
+    )
+
+
+def _fused_stage_vjp_fwd(x_pre, har, up_kernel, up_bias, nc_kernel, nc_bias,
+                         w0, w1, w2, b0, b1, b2,
+                         u, p, s_src, kernel_sizes, dilations, tile,
+                         mxu_bf16, interpret):
+    out = _fused_stage_fwd_impl(
+        x_pre, har, up_kernel, up_bias, nc_kernel, nc_bias,
+        (w0, w1, w2), (b0, b1, b2), kernel_sizes, dilations, u, p, s_src,
+        tile, mxu_bf16, interpret,
+    )
+    return out, (x_pre, har, up_kernel, up_bias, nc_kernel, nc_bias,
+                 w0, w1, w2, b0, b1, b2)
+
+
+def _fused_stage_vjp_bwd(u, p, s_src, kernel_sizes, dilations, tile,
+                         mxu_bf16, interpret, res, g):
+    (x_pre, har, up_kernel, up_bias, nc_kernel, nc_bias,
+     w0, w1, w2, b0, b1, b2) = res
+    _, vjp = jax.vjp(
+        lambda xp_, h_, uk, ub, nk, nb, *wb: stage_reference(
+            xp_, h_, uk, ub, nk, nb, wb[:3], wb[3:],
+            kernel_sizes, dilations, u, p, s_src,
+        ),
+        x_pre, har, up_kernel, up_bias, nc_kernel, nc_bias,
+        w0, w1, w2, b0, b1, b2,
+    )
+    return vjp(g)
+
+
+fused_stage_pallas.defvjp(_fused_stage_vjp_fwd, _fused_stage_vjp_bwd)

@@ -313,3 +313,90 @@ def test_log_mel_mxu_bf16_tracks_fp32():
     # log-domain absolute error ~ relative magnitude error (~2^-8 class)
     assert float(np.max(np.abs(got - ref))) < 0.1
     assert float(np.mean(np.abs(got - ref))) < 0.01
+
+
+def test_fused_stage_matches_reference():
+    """Fused stage kernel (up-conv + source conv + trio) == XLA reference."""
+    from ddsp_svc_tpu.ops.pallas_kernels import (
+        fused_stage_pallas, stage_reference,
+    )
+
+    rng = np.random.default_rng(11)
+    b, t_in, c_in, c = 2, 96, 16, 8
+    u, k_up, s_src = 2, 4, 4
+    p = (k_up - u) // 2
+    t_out = t_in * u
+    ks, dils = (3, 7, 11), (1, 3, 5)
+    x_pre = jnp.asarray(rng.standard_normal((b, t_in, c_in)).astype(np.float32))
+    har = jnp.asarray(
+        rng.standard_normal((b, t_out * s_src, 1)).astype(np.float32) * 0.1
+    )
+    up_k = jnp.asarray(
+        (rng.standard_normal((k_up, c_in, c)) * 0.2).astype(np.float32)
+    )
+    up_b = jnp.asarray((rng.standard_normal(c) * 0.05).astype(np.float32))
+    nc_k = jnp.asarray(
+        (rng.standard_normal((2 * s_src, 1, c)) * 0.2).astype(np.float32)
+    )
+    nc_b = jnp.asarray((rng.standard_normal(c) * 0.05).astype(np.float32))
+    ws, bs = [], []
+    for k in ks:
+        ws.append(jnp.asarray(
+            (rng.standard_normal((3, 2, k, c, c)) * (1.5 / (k * c)) ** 0.5
+             ).astype(np.float32)
+        ))
+        bs.append(jnp.asarray(
+            (rng.standard_normal((3, 2, c)) * 0.02).astype(np.float32)
+        ))
+    ref = stage_reference(x_pre, har, up_k, up_b, nc_k, nc_b, ws, bs,
+                          ks, dils, u, p, s_src)
+    got = fused_stage_pallas(
+        x_pre, har, up_k, up_b, nc_k, nc_b, *ws, *bs,
+        u, p, s_src, kernel_sizes=ks, dilations=dils, tile=128,
+        mxu_bf16=False, interpret=True,
+    )
+    assert got.shape == ref.shape == (b, t_out, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_fused_stage_last_stage_geometry():
+    """ksrc=1 / s_src=1 (final stage) and non-dividing tile tail."""
+    from ddsp_svc_tpu.ops.pallas_kernels import (
+        fused_stage_pallas, stage_reference,
+    )
+
+    rng = np.random.default_rng(12)
+    b, t_in, c_in, c = 1, 70, 16, 8
+    u, k_up, s_src = 2, 4, 1
+    p = (k_up - u) // 2
+    t_out = t_in * u
+    ks, dils = (3, 7, 11), (1, 3, 5)
+    x_pre = jnp.asarray(rng.standard_normal((b, t_in, c_in)).astype(np.float32))
+    har = jnp.asarray(
+        rng.standard_normal((b, t_out, 1)).astype(np.float32) * 0.1
+    )
+    up_k = jnp.asarray(
+        (rng.standard_normal((k_up, c_in, c)) * 0.2).astype(np.float32)
+    )
+    up_b = jnp.asarray((rng.standard_normal(c) * 0.05).astype(np.float32))
+    nc_k = jnp.asarray((rng.standard_normal((1, 1, c)) * 0.2).astype(np.float32))
+    nc_b = jnp.asarray((rng.standard_normal(c) * 0.05).astype(np.float32))
+    ws, bs = [], []
+    for k in ks:
+        ws.append(jnp.asarray(
+            (rng.standard_normal((3, 2, k, c, c)) * (1.5 / (k * c)) ** 0.5
+             ).astype(np.float32)
+        ))
+        bs.append(jnp.asarray(
+            (rng.standard_normal((3, 2, c)) * 0.02).astype(np.float32)
+        ))
+    ref = stage_reference(x_pre, har, up_k, up_b, nc_k, nc_b, ws, bs,
+                          ks, dils, u, p, s_src)
+    got = fused_stage_pallas(
+        x_pre, har, up_k, up_b, nc_k, nc_b, *ws, *bs,
+        u, p, s_src, kernel_sizes=ks, dilations=dils, tile=128,
+        mxu_bf16=False, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
