@@ -143,6 +143,13 @@ class CombSubFast(nn.Module):
     causal: bool = False
     frame_norm: bool = False  # frame-local prenet norm (exactly streamable)
     bf16: bool = False  # bf16 PCmer decoder compute (DSP/params stay fp32)
+    # Fuse the STFT-domain filtering (2x rfft -> complex filter -> irfft ->
+    # window) into one Pallas MXU DFT kernel on TPU — the chain's spectra and
+    # filter tensors never round-trip HBM, and the transforms land on the
+    # systolic array instead of the VPU FFT. bf16 MXU inputs (fp32
+    # accumulation) when model.bf16 is set. Auto-disabled off-TPU; "force"
+    # runs it in interpret mode (tests).
+    fused_spectral: object = True
 
     def setup(self):
         self.unit2ctrl = Unit2Control(
@@ -201,20 +208,45 @@ class CombSubFast(nn.Module):
             frame_signal(jnp.pad(noise, ((0, 0), (bs, bs))), 2 * bs, bs) * window
         )
 
-        # frequency-domain filters (last frame repeated to match n+1 frames)
-        src_filter = jnp.exp(harmo_mag + 1j * np.pi * harmo_phase)
-        src_filter = jnp.concatenate([src_filter, src_filter[:, -1:, :]], 1)
-        noise_filter = jnp.exp(noise_mag) / 128.0
-        noise_filter = jnp.concatenate([noise_filter, noise_filter[:, -1:, :]], 1)
+        if self._use_fused_spectral():
+            from ..ops.pallas_kernels import combsub_spectral_pallas
 
-        tooth_fft = _rfft(tooth_frames, 2 * bs)
-        noise_fft = _rfft(noise_frames, 2 * bs)
-        signal_fft = tooth_fft * src_filter + noise_fft * noise_filter
-        signal_frames = _irfft(signal_fft, 2 * bs) * window
+            b, n1, fs = tooth_frames.shape  # n1 = n_frames + 1
+            rep = lambda v: jnp.concatenate([v, v[:, -1:, :]], 1).reshape(
+                b * n1, bs + 1
+            )
+            signal_frames = combsub_spectral_pallas(
+                tooth_frames.reshape(b * n1, fs),
+                noise_frames.reshape(b * n1, fs),
+                rep(harmo_mag), rep(harmo_phase), rep(noise_mag),
+                2 * bs, self.bf16, self.fused_spectral == "force",
+            ).reshape(b, n1, fs)
+        else:
+            # frequency-domain filters (last frame repeated -> n+1 frames)
+            src_filter = jnp.exp(harmo_mag + 1j * np.pi * harmo_phase)
+            src_filter = jnp.concatenate([src_filter, src_filter[:, -1:, :]], 1)
+            noise_filter = jnp.exp(noise_mag) / 128.0
+            noise_filter = jnp.concatenate(
+                [noise_filter, noise_filter[:, -1:, :]], 1
+            )
+
+            tooth_fft = _rfft(tooth_frames, 2 * bs)
+            noise_fft = _rfft(noise_frames, 2 * bs)
+            signal_fft = tooth_fft * src_filter + noise_fft * noise_filter
+            signal_frames = _irfft(signal_fft, 2 * bs) * window
 
         signal = overlap_add_half(signal_frames, bs)  # (B, (n+2)*bs)
         signal = signal[:, bs:-bs]
         return signal, phase_frames[..., None], (signal, signal)
+
+    def _use_fused_spectral(self) -> bool:
+        if not self.fused_spectral:
+            return False
+        if self.block_size % 64 != 0:  # (rows, 2*bs) lane tiling
+            return False
+        if self.fused_spectral == "force":
+            return True
+        return jax.default_backend() not in ("cpu", "gpu")
 
 
 class CombSub(nn.Module):

@@ -417,6 +417,176 @@ def _ltv_conv_vjp_bwd(n_fft, interpret, res, g):
 ltv_fir_convolve_pallas.defvjp(_ltv_conv_vjp_fwd, _ltv_conv_vjp_bwd)
 
 
+# ------------------ fused CombSubFast spectral chain ------------------------
+#
+# The CombSubFast synthesizer's STFT-domain filtering (reference
+# ddsp/vocoder.py:472-487) is rfft(tooth)*exp(mag + j*pi*phase) +
+# rfft(noise)*exp(noise_mag)/128 -> irfft -> *window, per 50%-overlap frame.
+# XLA lowers the three 2*block-point FFTs to the VPU and round-trips every
+# intermediate (two complex spectra, the filter tensors, the product) through
+# HBM — the largest remaining FFT consumer of the headline program
+# (ROADMAP.md). Here the whole chain runs as MXU DFT matmuls against shared
+# cos/sin blocks with the filter construction (exp/cos/sin of the PCmer
+# controls) fused in-core; HBM sees the windowed excitation frames once and
+# the windowed output frames once. Grid: (frame rows, bin blocks) with each
+# bin block's inverse-transform contribution accumulated into the output
+# rows (same revisiting pattern as the LTV-FIR kernel above).
+
+_CS_FT = 128   # frame rows per program
+_CS_KT = 128   # frequency bins per program
+
+
+def _combsub_spectral_kernel(
+    a_ref, n_ref, hm_ref, hp_ref, nm_ref, cos_ref, sin_ref, win_ref, out_ref,
+    *, n_fft: int, mxu_bf16: bool,
+):
+    j = pl.program_id(1)
+    cast = (lambda v: v.astype(jnp.bfloat16)) if mxu_bf16 else (lambda v: v)
+    a = cast(a_ref[:, :])       # (FT, n_fft) windowed tooth frames
+    nz = cast(n_ref[:, :])      # (FT, n_fft) windowed noise frames
+    c = cos_ref[:, :]           # (n_fft, KT)
+    s = sin_ref[:, :]
+    ar = jnp.dot(a, c, preferred_element_type=jnp.float32)
+    ai = -jnp.dot(a, s, preferred_element_type=jnp.float32)
+    nr = jnp.dot(nz, c, preferred_element_type=jnp.float32)
+    ni = -jnp.dot(nz, s, preferred_element_type=jnp.float32)
+    # per-frame complex filters from the raw PCmer controls (vocoder.py:472-476)
+    mag = jnp.exp(hm_ref[:, :])
+    ph = np.pi * hp_ref[:, :]
+    fr = mag * jnp.cos(ph)
+    fi = mag * jnp.sin(ph)
+    nf = jnp.exp(nm_ref[:, :]) * (1.0 / 128.0)
+    pr = ar * fr - ai * fi + nr * nf
+    pi_ = ar * fi + ai * fr + ni * nf
+    # irfft bin weights: 1/n at DC/Nyquist, 2/n elsewhere, 0 for padded bins
+    k = j * _CS_KT + jax.lax.broadcasted_iota(jnp.int32, (1, _CS_KT), 1)
+    w = jnp.where((k == 0) | (k == n_fft // 2), 1.0, 2.0) / n_fft
+    w = jnp.where(k > n_fft // 2, 0.0, w)
+    contrib = (
+        jnp.dot(cast(w * pr), c.T, preferred_element_type=jnp.float32)
+        - jnp.dot(cast(w * pi_), s.T, preferred_element_type=jnp.float32)
+    ) * win_ref[0:1, :]  # synthesis window folds into the j-sum linearly
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = contrib
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:, :] += contrib
+
+
+def _combsub_spectral_ref(tooth_frames, noise_frames, hm, hp, nm, n_fft):
+    """Plain-jnp reference of the same chain (VJP + tests). Rows layout:
+    all inputs (R, ...); returns windowed output frames (R, n_fft)."""
+    from .spectral import rfft_any, irfft_any
+    from .windows import sqrt_hann_window
+
+    tf = rfft_any(tooth_frames, n_fft)
+    nf = rfft_any(noise_frames, n_fft)
+    flt = jnp.exp(hm + 1j * np.pi * hp)
+    nflt = jnp.exp(nm) / 128.0
+    sig = irfft_any(tf * flt + nf * nflt, n_fft)
+    return sig * sqrt_hann_window(n_fft, dtype=sig.dtype)
+
+
+def _combsub_spectral_fwd_impl(
+    tooth_frames, noise_frames, hm, hp, nm, n_fft, mxu_bf16, interpret,
+):
+    from .spectral import _dft_matrices
+
+    rows, fs = tooth_frames.shape
+    assert fs == n_fft, (fs, n_fft)
+    bins = n_fft // 2 + 1
+    bins_pad = -(-bins // _CS_KT) * _CS_KT
+    rows_pad = -(-rows // _CS_FT) * _CS_FT
+    in_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    cos_np, sin_np = _dft_matrices(n_fft)
+    cos = jnp.asarray(np.pad(cos_np, ((0, 0), (0, bins_pad - bins))),
+                      dtype=in_dtype)
+    sin = jnp.asarray(np.pad(sin_np, ((0, 0), (0, bins_pad - bins))),
+                      dtype=in_dtype)
+    pad_r = rows_pad - rows
+    if pad_r:
+        tooth_frames = jnp.pad(tooth_frames, ((0, pad_r), (0, 0)))
+        noise_frames = jnp.pad(noise_frames, ((0, pad_r), (0, 0)))
+    ctl = [
+        jnp.pad(v, ((0, pad_r), (0, bins_pad - bins))) for v in (hm, hp, nm)
+    ]
+    win_np = np.sqrt(
+        0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / max(n_fft, 1))
+    ).astype(np.float32)  # sqrt_hann_window as a host constant
+    win = jnp.asarray(np.pad(win_np[None, :], ((0, 7), (0, 0))))
+    kernel = functools.partial(
+        _combsub_spectral_kernel, n_fft=n_fft, mxu_bf16=mxu_bf16
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows_pad, n_fft), jnp.float32),
+        grid=(rows_pad // _CS_FT, bins_pad // _CS_KT),
+        in_specs=[
+            pl.BlockSpec((_CS_FT, n_fft), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CS_FT, n_fft), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CS_FT, _CS_KT), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CS_FT, _CS_KT), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CS_FT, _CS_KT), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, _CS_KT), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, _CS_KT), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n_fft), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_CS_FT, n_fft), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tooth_frames, noise_frames, *ctl, cos, sin, win)
+    return out[:rows]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def combsub_spectral_pallas(
+    tooth_frames, noise_frames, hm, hp, nm, n_fft: int,
+    mxu_bf16: bool = False, interpret: bool = False,
+):
+    """CombSubFast STFT-domain filtering fused as MXU DFT matmuls.
+
+    tooth_frames/noise_frames :: (R, n_fft) windowed excitation frames;
+    hm/hp/nm :: (R, n_fft//2+1) raw PCmer controls (harmonic log-magnitude,
+    harmonic phase/pi, noise log-magnitude). Returns the windowed output
+    frames (R, n_fft): irfft(rfft(tooth)*exp(hm+j*pi*hp) +
+    rfft(noise)*exp(nm)/128) * sqrt_hann. Backward runs the XLA reference."""
+    return _combsub_spectral_fwd_impl(
+        tooth_frames, noise_frames, hm, hp, nm, n_fft, mxu_bf16, interpret
+    )
+
+
+def _combsub_spectral_vjp_fwd(tooth_frames, noise_frames, hm, hp, nm, n_fft,
+                              mxu_bf16, interpret):
+    out = _combsub_spectral_fwd_impl(
+        tooth_frames, noise_frames, hm, hp, nm, n_fft, mxu_bf16, interpret
+    )
+    return out, (tooth_frames, noise_frames, hm, hp, nm)
+
+
+def _combsub_spectral_vjp_bwd(n_fft, mxu_bf16, interpret, res, g):
+    tooth_frames, noise_frames, hm, hp, nm = res
+    _, vjp = jax.vjp(
+        lambda a, b, m, p, q: _combsub_spectral_ref(a, b, m, p, q, n_fft),
+        tooth_frames, noise_frames, hm, hp, nm,
+    )
+    return vjp(g)
+
+
+combsub_spectral_pallas.defvjp(_combsub_spectral_vjp_fwd,
+                               _combsub_spectral_vjp_bwd)
+
+
 # ------------------ fused NSF-HiFiGAN resblock trio ---------------------
 #
 # The generator's narrow late stages (C=64/32/16 at 65k-262k samples) are

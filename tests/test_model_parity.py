@@ -192,3 +192,28 @@ def test_combsubfast_causal_parity(ref_vocoder):
     )
     scale = np.abs(ref).max() + 1e-6
     assert np.abs(got - ref).max() / scale < 2e-3, np.abs(got - ref).max() / scale
+
+
+def test_combsubfast_fused_spectral_matches_xla():
+    """CombSubFast with the fused Pallas spectral chain (forced, interpret on
+    CPU) must match the plain XLA FFT chain."""
+    b, n_frames, n_unit, block = 2, 12, 256, 128
+    units, f0, volume, spk_id, noise = _random_inputs(
+        31, b=b, n_frames=n_frames, n_unit=n_unit, block=block
+    )
+    kw = dict(sampling_rate=44100, block_size=block, n_unit=n_unit, n_spk=4)
+    m_ref = CombSubFast(**kw, fused_spectral=False)
+    m_fused = CombSubFast(**kw, fused_spectral="force")
+    variables = m_ref.init(
+        {"params": jax.random.key(5)}, jnp.asarray(units), jnp.asarray(f0),
+        jnp.asarray(volume), jnp.asarray(spk_id), noise=jnp.asarray(noise),
+    )
+    args = (jnp.asarray(units), jnp.asarray(f0), jnp.asarray(volume),
+            jnp.asarray(spk_id))
+    ref, _, _ = m_ref.apply(variables, *args, infer=True,
+                            noise=jnp.asarray(noise))
+    got, _, _ = m_fused.apply(variables, *args, infer=True,
+                              noise=jnp.asarray(noise))
+    ref, got = np.asarray(ref), np.asarray(got)
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 2e-5

@@ -400,3 +400,56 @@ def test_fused_stage_last_stage_geometry():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_combsub_spectral_kernel_matches_ref():
+    """Fused CombSubFast spectral chain (interpret) vs the plain-jnp
+    reference, including row/bin padding (rows not a multiple of 128)."""
+    from ddsp_svc_tpu.ops.pallas_kernels import (
+        combsub_spectral_pallas, _combsub_spectral_ref,
+    )
+
+    rng = np.random.default_rng(11)
+    n_fft, rows = 256, 37  # bins = 129 -> one padded bin block
+    bins = n_fft // 2 + 1
+    tooth = jnp.asarray(rng.standard_normal((rows, n_fft)).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal((rows, n_fft)).astype(np.float32))
+    hm = jnp.asarray((rng.standard_normal((rows, bins)) * 0.3).astype(np.float32))
+    hp = jnp.asarray(rng.standard_normal((rows, bins)).astype(np.float32))
+    nm = jnp.asarray((rng.standard_normal((rows, bins)) * 0.3 - 3).astype(np.float32))
+    ref = np.asarray(_combsub_spectral_ref(tooth, noise, hm, hp, nm, n_fft))
+    got = np.asarray(combsub_spectral_pallas(
+        tooth, noise, hm, hp, nm, n_fft, False, True
+    ))
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 2e-5
+
+
+def test_combsub_spectral_kernel_gradient():
+    """custom_vjp backward (XLA reference) must match differentiating the
+    reference directly."""
+    from ddsp_svc_tpu.ops.pallas_kernels import (
+        combsub_spectral_pallas, _combsub_spectral_ref,
+    )
+
+    rng = np.random.default_rng(12)
+    n_fft, rows = 128, 8
+    bins = n_fft // 2 + 1
+    tooth = jnp.asarray(rng.standard_normal((rows, n_fft)).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal((rows, n_fft)).astype(np.float32))
+    hm = jnp.asarray((rng.standard_normal((rows, bins)) * 0.3).astype(np.float32))
+    hp = jnp.asarray(rng.standard_normal((rows, bins)).astype(np.float32))
+    nm = jnp.asarray((rng.standard_normal((rows, bins)) * 0.3 - 3).astype(np.float32))
+
+    g_k = jax.grad(
+        lambda m: jnp.sum(combsub_spectral_pallas(
+            tooth, noise, m, hp, nm, n_fft, False, True
+        ) ** 2)
+    )(hm)
+    g_r = jax.grad(
+        lambda m: jnp.sum(_combsub_spectral_ref(
+            tooth, noise, m, hp, nm, n_fft
+        ) ** 2)
+    )(hm)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r),
+                               atol=1e-4, rtol=1e-4)
