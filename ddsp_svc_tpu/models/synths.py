@@ -208,7 +208,11 @@ class CombSubFast(nn.Module):
             frame_signal(jnp.pad(noise, ((0, 0), (bs, bs))), 2 * bs, bs) * window
         )
 
-        if self._use_fused_spectral():
+        # training uses the kernel only under model.bf16: its analytic Pallas
+        # backward runs at default (bf16-class) MXU dot precision, the same
+        # accuracy class the bf16 flag opts into; fp32 training keeps the
+        # XLA FFT chain's full-precision gradients
+        if (infer or self.bf16) and self._use_fused_spectral():
             from ..ops.pallas_kernels import combsub_spectral_pallas
 
             b, n1, fs = tooth_frames.shape  # n1 = n_frames + 1

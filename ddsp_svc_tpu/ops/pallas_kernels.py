@@ -566,6 +566,129 @@ def combsub_spectral_pallas(
     )
 
 
+def _combsub_spectral_bwd_kernel(
+    g_ref, a_ref, n_ref, hm_ref, hp_ref, nm_ref, cos_ref, sin_ref, win_ref,
+    da_ref, dn_ref, dhm_ref, dhp_ref, dnm_ref, *, n_fft: int, mxu_bf16: bool,
+):
+    """Analytic adjoint of the forward chain — the same DFT-matmul structure
+    (6 forward-direction dots + 4 inverse dots per bin block) instead of the
+    XLA-replay VJP (~6x the kernel's work).
+
+    y = irfft(A*H + N*G) .* win with A = rfft(a), N = rfft(n),
+    H = exp(hm + j*pi*hp), G = exp(nm)/128."""
+    j = pl.program_id(1)
+    cast = (lambda v: v.astype(jnp.bfloat16)) if mxu_bf16 else (lambda v: v)
+    c = cos_ref[:, :]
+    s = sin_ref[:, :]
+    gw = cast(g_ref[:, :] * win_ref[0:1, :])
+    k = j * _CS_KT + jax.lax.broadcasted_iota(jnp.int32, (1, _CS_KT), 1)
+    w = jnp.where((k == 0) | (k == n_fft // 2), 1.0, 2.0) / n_fft
+    w = jnp.where(k > n_fft // 2, 0.0, w)
+    dSr = jnp.dot(gw, c, preferred_element_type=jnp.float32) * w
+    dSi = -jnp.dot(gw, s, preferred_element_type=jnp.float32) * w
+    a = cast(a_ref[:, :])
+    nz = cast(n_ref[:, :])
+    ar = jnp.dot(a, c, preferred_element_type=jnp.float32)
+    ai = -jnp.dot(a, s, preferred_element_type=jnp.float32)
+    nr = jnp.dot(nz, c, preferred_element_type=jnp.float32)
+    ni = -jnp.dot(nz, s, preferred_element_type=jnp.float32)
+    mag = jnp.exp(hm_ref[:, :])
+    ph = np.pi * hp_ref[:, :]
+    hr = mag * jnp.cos(ph)
+    hi = mag * jnp.sin(ph)
+    gq = jnp.exp(nm_ref[:, :]) * (1.0 / 128.0)
+    # filter-control grads (per bin block, written once)
+    dHr = dSr * ar + dSi * ai
+    dHi = -dSr * ai + dSi * ar
+    dhm_ref[:, :] = dHr * hr + dHi * hi
+    dhp_ref[:, :] = np.pi * (-dHr * hi + dHi * hr)
+    dnm_ref[:, :] = (dSr * nr + dSi * ni) * gq
+    # excitation grads (accumulated over bin blocks)
+    dAr = dSr * hr + dSi * hi
+    dAi = -dSr * hi + dSi * hr
+    da = (
+        jnp.dot(cast(dAr), c.T, preferred_element_type=jnp.float32)
+        - jnp.dot(cast(dAi), s.T, preferred_element_type=jnp.float32)
+    )
+    dNr = dSr * gq
+    dNi = dSi * gq
+    dn = (
+        jnp.dot(cast(dNr), c.T, preferred_element_type=jnp.float32)
+        - jnp.dot(cast(dNi), s.T, preferred_element_type=jnp.float32)
+    )
+
+    @pl.when(j == 0)
+    def _():
+        da_ref[:, :] = da
+        dn_ref[:, :] = dn
+
+    @pl.when(j > 0)
+    def _():
+        da_ref[:, :] += da
+        dn_ref[:, :] += dn
+
+
+def _combsub_spectral_bwd_impl(
+    g, tooth_frames, noise_frames, hm, hp, nm, n_fft, mxu_bf16, interpret,
+):
+    from .spectral import _dft_matrices
+
+    rows, fs = tooth_frames.shape
+    bins = n_fft // 2 + 1
+    bins_pad = -(-bins // _CS_KT) * _CS_KT
+    rows_pad = -(-rows // _CS_FT) * _CS_FT
+    in_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    cos_np, sin_np = _dft_matrices(n_fft)
+    cos = jnp.asarray(np.pad(cos_np, ((0, 0), (0, bins_pad - bins))),
+                      dtype=in_dtype)
+    sin = jnp.asarray(np.pad(sin_np, ((0, 0), (0, bins_pad - bins))),
+                      dtype=in_dtype)
+    pad_r = rows_pad - rows
+    if pad_r:
+        g = jnp.pad(g, ((0, pad_r), (0, 0)))
+        tooth_frames = jnp.pad(tooth_frames, ((0, pad_r), (0, 0)))
+        noise_frames = jnp.pad(noise_frames, ((0, pad_r), (0, 0)))
+    ctl = [
+        jnp.pad(v, ((0, pad_r), (0, bins_pad - bins))) for v in (hm, hp, nm)
+    ]
+    win_np = np.sqrt(
+        0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / max(n_fft, 1))
+    ).astype(np.float32)
+    win = jnp.asarray(np.pad(win_np[None, :], ((0, 7), (0, 0))))
+    kernel = functools.partial(
+        _combsub_spectral_bwd_kernel, n_fft=n_fft, mxu_bf16=mxu_bf16
+    )
+    row_spec = pl.BlockSpec((_CS_FT, n_fft), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    ctl_spec = pl.BlockSpec((_CS_FT, _CS_KT), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((n_fft, _CS_KT), lambda i, j: (0, j),
+                            memory_space=pltpu.VMEM)
+    da, dn, dhm, dhp, dnm = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows_pad, n_fft), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, n_fft), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, bins_pad), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, bins_pad), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, bins_pad), jnp.float32),
+        ),
+        grid=(rows_pad // _CS_FT, bins_pad // _CS_KT),
+        in_specs=[
+            row_spec, row_spec, row_spec, ctl_spec, ctl_spec, ctl_spec,
+            mat_spec, mat_spec,
+            pl.BlockSpec((8, n_fft), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(row_spec, row_spec, ctl_spec, ctl_spec, ctl_spec),
+        interpret=interpret,
+    )(g, tooth_frames, noise_frames, *ctl, cos, sin, win)
+    return (
+        da[:rows], dn[:rows],
+        dhm[:rows, :bins], dhp[:rows, :bins], dnm[:rows, :bins],
+    )
+
+
 def _combsub_spectral_vjp_fwd(tooth_frames, noise_frames, hm, hp, nm, n_fft,
                               mxu_bf16, interpret):
     out = _combsub_spectral_fwd_impl(
@@ -576,11 +699,9 @@ def _combsub_spectral_vjp_fwd(tooth_frames, noise_frames, hm, hp, nm, n_fft,
 
 def _combsub_spectral_vjp_bwd(n_fft, mxu_bf16, interpret, res, g):
     tooth_frames, noise_frames, hm, hp, nm = res
-    _, vjp = jax.vjp(
-        lambda a, b, m, p, q: _combsub_spectral_ref(a, b, m, p, q, n_fft),
-        tooth_frames, noise_frames, hm, hp, nm,
+    return _combsub_spectral_bwd_impl(
+        g, tooth_frames, noise_frames, hm, hp, nm, n_fft, mxu_bf16, interpret
     )
-    return vjp(g)
 
 
 combsub_spectral_pallas.defvjp(_combsub_spectral_vjp_fwd,
@@ -604,6 +725,8 @@ combsub_spectral_pallas.defvjp(_combsub_spectral_vjp_fwd,
 
 _RB_HALO = 64  # >= cumulative receptive margin: max_k 6*(k-1) = 60 (k=11)
 _PER_TAP = False  # experiment switch: per-tap dots instead of roll-im2col
+_NO_SHIFT = False  # experiment switch: skip the tap rolls (WRONG numerics) —
+# bounds how much of the kernel's time the roll relayouts cost
 
 
 def _leaky_k(x, slope=0.1):
@@ -642,7 +765,8 @@ def _rb_conv_cf(h, mask, w_ref, b_ref, i, j, k, d, n_ch, mxu_bf16,
         cast = (lambda v: v.astype(jnp.bfloat16)) if mxu_bf16 else (lambda v: v)
         taps = jnp.concatenate(
             [
-                cast(pltpu.roll(hp, (off - tap * d) % width, axis=1))
+                cast(hp if _NO_SHIFT
+                     else pltpu.roll(hp, (off - tap * d) % width, axis=1))
                 for tap in range(k)
             ],
             axis=0,

@@ -426,14 +426,15 @@ def test_combsub_spectral_kernel_matches_ref():
 
 
 def test_combsub_spectral_kernel_gradient():
-    """custom_vjp backward (XLA reference) must match differentiating the
-    reference directly."""
+    """The analytic Pallas backward (interpret) must match differentiating
+    the XLA reference, for every input (excitations + all three controls),
+    including row/bin padding."""
     from ddsp_svc_tpu.ops.pallas_kernels import (
         combsub_spectral_pallas, _combsub_spectral_ref,
     )
 
     rng = np.random.default_rng(12)
-    n_fft, rows = 128, 8
+    n_fft, rows = 128, 5  # rows pad 5 -> 128; bins = 65 -> one padded block
     bins = n_fft // 2 + 1
     tooth = jnp.asarray(rng.standard_normal((rows, n_fft)).astype(np.float32))
     noise = jnp.asarray(rng.standard_normal((rows, n_fft)).astype(np.float32))
@@ -441,15 +442,24 @@ def test_combsub_spectral_kernel_gradient():
     hp = jnp.asarray(rng.standard_normal((rows, bins)).astype(np.float32))
     nm = jnp.asarray((rng.standard_normal((rows, bins)) * 0.3 - 3).astype(np.float32))
 
-    g_k = jax.grad(
-        lambda m: jnp.sum(combsub_spectral_pallas(
-            tooth, noise, m, hp, nm, n_fft, False, True
-        ) ** 2)
-    )(hm)
-    g_r = jax.grad(
-        lambda m: jnp.sum(_combsub_spectral_ref(
-            tooth, noise, m, hp, nm, n_fft
-        ) ** 2)
-    )(hm)
-    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r),
-                               atol=1e-4, rtol=1e-4)
+    def loss(fn):
+        return lambda a, n, m, p, q: jnp.sum(
+            fn(a, n, m, p, q) ** 2
+            * jnp.cos(jnp.arange(n_fft, dtype=jnp.float32))[None, :]
+        )
+
+    grads_k = jax.grad(
+        loss(lambda *xs: combsub_spectral_pallas(*xs, n_fft, False, True)),
+        argnums=(0, 1, 2, 3, 4),
+    )(tooth, noise, hm, hp, nm)
+    grads_r = jax.grad(
+        loss(lambda *xs: _combsub_spectral_ref(*xs, n_fft)),
+        argnums=(0, 1, 2, 3, 4),
+    )(tooth, noise, hm, hp, nm)
+    for name, gk, gr in zip(("tooth", "noise", "hm", "hp", "nm"),
+                            grads_k, grads_r):
+        gk, gr = np.asarray(gk), np.asarray(gr)
+        scale = np.abs(gr).max() + 1e-9
+        assert np.abs(gk - gr).max() / scale < 2e-5, (
+            name, np.abs(gk - gr).max() / scale
+        )
