@@ -48,8 +48,10 @@ def main():
     # (BASELINE.md), so batch the offline/serving-style workload and keep
     # two dispatches in flight (hides the ~20 ms relay round-trip; standard
     # serving-style pipelining). Same-window sweep: b=32 786x, b=64 977x,
-    # b=128 1204x, b=192 1163x (HBM pressure), b=256 OOM -> b=128.
-    b = 128
+    # b=128 1204x, b=192 1163x (HBM pressure), b=256 OOM -> b=128; re-swept
+    # with the fused spectral kernel: b=128 1298x, b=160 1188x, b=192 1234x.
+    # (BENCH_BATCH overrides for sweeps.)
+    b = int(os.environ.get("BENCH_BATCH", 128))
 
     # seed from wall clock: the execution relay content-addresses dispatches,
     # so repeated runs with identical inputs would measure cache hits
