@@ -117,7 +117,10 @@ def main():
     hp = jnp.asarray(rng.standard_normal((b, n_frames, nq)).astype(np.float32))
     nm = jnp.asarray(rng.standard_normal((b, n_frames, nq)).astype(np.float32) * 0.1 - 3)
 
-    def spectral(tth, nse):
+    # controls passed as arguments: a closure would inline them as literal
+    # HLO constants (3 x 135 MB at batch 128) and blow the remote-compile
+    # relay's request-size limit (HTTP 413)
+    def spectral(tth, nse, hm, hp, nm):
         tf = frame_signal(jnp.pad(tth, ((0, 0), (bs, bs))), 2 * bs, bs) * window
         nf = frame_signal(jnp.pad(nse, ((0, 0), (bs, bs))), 2 * bs, bs) * window
         src_filter = jnp.exp(hm + 1j * np.pi * hp)
@@ -129,7 +132,11 @@ def main():
         sig = overlap_add_half(sig_frames, bs)
         return sig[:, bs:-bs]
 
-    t = timed(spectral, lambda i: (tooth * (1 + 1e-3 * i), noise), args.iters)
+    t = timed(
+        spectral,
+        lambda i: (tooth * (1 + 1e-3 * i), noise, hm, hp, nm),
+        args.iters,
+    )
     report("frame+spectral+ola", t)
 
 
