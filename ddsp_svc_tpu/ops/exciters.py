@@ -30,7 +30,16 @@ def combtooth(
     zero_unvoiced: CombSubFast zeroes f0<=0 regions (vocoder.py:460); the old
     CombSub does not (vocoder.py:539).
     """
-    tooth = jnp.sinc(sr * rot / (f0 + 1e-3))
+    x = sr * rot / (f0 + 1e-3)
+    # sinc(x) = sin(pi*x)/(pi*x) with the sine argument wrapped to [-pi, pi]:
+    # |x| reaches sr/(2*f0_min) ~ 340 here, where fp32 sin takes its slow
+    # large-argument reduction path (measured ~20 ms of the batch-128
+    # headline synth). x - 2*round(x/2) is exact to ulp(x), the same error
+    # already present in x itself.
+    xw = x - 2.0 * jnp.round(0.5 * x)
+    tooth = jnp.where(
+        jnp.abs(x) < 1e-6, 1.0, jnp.sin(np.pi * xw) / (np.pi * x)
+    )
     if zero_unvoiced:
         tooth = jnp.where(f0 <= 0.0, 0.0, tooth)
     return tooth

@@ -38,8 +38,11 @@ def _osc_kernel(phase_ref, amp_ref, out_ref, *, block_size: int):
     levels = 1.0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, h), 2).astype(
         jnp.float32
     )
-    s = jnp.sin(phase[:, :, None] * levels)
-    out_ref[:, :] = jnp.sum(amp * s, axis=-1)
+    y = phase[:, :, None] * levels
+    # wrap to [-pi, pi] before the sine: |y| reaches ~128*pi at the top
+    # harmonic, where fp32 sin takes its slow large-argument reduction path
+    y = y - (2.0 * np.pi) * jnp.round(y * (0.5 / np.pi))
+    out_ref[:, :] = jnp.sum(amp * jnp.sin(y), axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "interpret"))

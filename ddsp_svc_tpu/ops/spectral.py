@@ -122,12 +122,24 @@ def irfft(X: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 def frame_signal(x: jnp.ndarray, frame_size: int, hop: int) -> jnp.ndarray:
-    """:: (B, T) -> (B, n_frames, frame_size), n = (T - frame)//hop + 1.
+    """:: (B, T) -> (B, n_frames, frame_size), n = (T - frame)//hop + 1
+    (torch `unfold` semantics).
 
-    Static strided gather (torch `unfold` semantics).
+    When hop divides frame_size, frame column block j is a contiguous
+    reshape of x offset by j*hop — build the frames from frame_size//hop
+    slab reshapes instead of a gather (the gather lowering measured ~35 ms
+    for the two excitations at the batch-128 headline geometry; the slab
+    form is plain copies).
     """
     t = x.shape[-1]
     n = (t - frame_size) // hop + 1
+    if frame_size % hop == 0:
+        k = frame_size // hop
+        slabs = [
+            x[..., j * hop : (j + n) * hop].reshape(*x.shape[:-1], n, hop)
+            for j in range(k)
+        ]
+        return jnp.concatenate(slabs, axis=-1)
     idx = np.arange(n)[:, None] * hop + np.arange(frame_size)[None, :]
     return x[..., idx]
 
