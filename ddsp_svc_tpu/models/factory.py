@@ -50,6 +50,11 @@ def build_model(args: DotDict) -> nn.Module:
             causal=bool(args.model.c),
             frame_norm=bool(args.model.frame_norm),
             bf16=bool(args.model.bf16),
+            # fused Pallas spectral chain (TPU): on unless explicitly disabled
+            fused_spectral=(
+                True if args.model.fused_spectral is None
+                else args.model.fused_spectral
+            ),
         )
     raise ValueError(f" [x] Unknown Model: {mtype}")
 

@@ -55,6 +55,7 @@ class Sins(nn.Module):
     n_spk: int = 1
     causal: bool = False
     bf16: bool = False  # bf16 PCmer decoder compute (DSP/params stay fp32)
+    fused_attention: object = True  # Pallas FAVOR+ at inference (nn/pcmer.py)
 
     def setup(self):
         self.unit2ctrl = Unit2Control(
@@ -67,6 +68,7 @@ class Sins(nn.Module):
             },
             self.causal,
             compute_dtype=jnp.bfloat16 if self.bf16 else None,
+            fused_attention=self.fused_attention,
         )
 
     def __call__(
@@ -92,7 +94,7 @@ class Sins(nn.Module):
 
         ctrls = self.unit2ctrl(
             units_frames, f0_frames, phase_frames, volume_frames, spk_id,
-            spk_mix_dict=spk_mix_dict,
+            spk_mix_dict=spk_mix_dict, infer=infer,
         )
         amplitudes_frames = jnp.exp(ctrls["amplitudes"]) / 128.0
         group_delay = np.pi * jnp.tanh(ctrls["group_delay"])
@@ -150,6 +152,7 @@ class CombSubFast(nn.Module):
     # accumulation) when model.bf16 is set. Auto-disabled off-TPU; "force"
     # runs it in interpret mode (tests).
     fused_spectral: object = True
+    fused_attention: object = True  # Pallas FAVOR+ at inference (nn/pcmer.py)
 
     def setup(self):
         self.unit2ctrl = Unit2Control(
@@ -163,6 +166,7 @@ class CombSubFast(nn.Module):
             self.causal,
             frame_norm=self.frame_norm,
             compute_dtype=jnp.bfloat16 if self.bf16 else None,
+            fused_attention=self.fused_attention,
         )
 
     def __call__(
@@ -186,7 +190,7 @@ class CombSubFast(nn.Module):
 
         ctrls = self.unit2ctrl(
             units_frames, f0_frames, phase_frames, volume_frames, spk_id,
-            spk_mix_dict=spk_mix_dict,
+            spk_mix_dict=spk_mix_dict, infer=infer,
         )
         harmo_mag = ctrls["harmonic_magnitude"]
         harmo_phase = ctrls["harmonic_phase"]
@@ -267,6 +271,7 @@ class CombSub(nn.Module):
     n_spk: int = 1
     causal: bool = False
     bf16: bool = False  # bf16 PCmer decoder compute (DSP/params stay fp32)
+    fused_attention: object = True  # Pallas FAVOR+ at inference (nn/pcmer.py)
 
     def setup(self):
         self.unit2ctrl = Unit2Control(
@@ -279,6 +284,7 @@ class CombSub(nn.Module):
             },
             self.causal,
             compute_dtype=jnp.bfloat16 if self.bf16 else None,
+            fused_attention=self.fused_attention,
         )
 
     def __call__(
@@ -302,7 +308,7 @@ class CombSub(nn.Module):
 
         ctrls = self.unit2ctrl(
             units_frames, f0_frames, phase_frames, volume_frames, spk_id,
-            spk_mix_dict=spk_mix_dict,
+            spk_mix_dict=spk_mix_dict, infer=infer,
         )
         group_delay = np.pi * jnp.tanh(ctrls["group_delay"])
         src_param = jnp.exp(ctrls["harmonic_magnitude"])

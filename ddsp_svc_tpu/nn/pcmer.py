@@ -189,9 +189,14 @@ class SelfAttention(nn.Module):
     causal: bool = False
     proj_seed: int = 0
     compute_dtype: object = None
+    # Fuse FAVOR+ features + linear attention into one Pallas pass at
+    # inference (performer_attention_pallas): the (B, H, T, m) feature
+    # tensors never round-trip HBM. Training keeps the XLA formulation (and
+    # its full-precision gradients); "force" runs interpret off-TPU (tests).
+    fused_attention: object = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, infer: bool = False) -> jnp.ndarray:
         in_dtype = x.dtype
         inner = self.dim_head * self.heads
         nb_features = int(self.dim_head * math.log(self.dim_head))
@@ -216,16 +221,34 @@ class SelfAttention(nn.Module):
             return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
         q, k, v = map(split_heads, (q, k, v))
-        q = softmax_kernel(q, projection, is_query=True)
-        k = softmax_kernel(k, projection, is_query=False)
-        if self.causal:
-            out = causal_linear_attention(q, k, v)
+        if self._use_fused(infer, q.shape[2]):
+            from ..ops.pallas_kernels import performer_attention_pallas
+
+            out = performer_attention_pallas(
+                q, k, v, projection,
+                mxu_bf16=self.compute_dtype == jnp.bfloat16,
+                interpret=self.fused_attention == "force",
+            ).astype(q.dtype)
         else:
-            out = linear_attention(q, k, v)
+            q = softmax_kernel(q, projection, is_query=True)
+            k = softmax_kernel(k, projection, is_query=False)
+            if self.causal:
+                out = causal_linear_attention(q, k, v)
+            else:
+                out = linear_attention(q, k, v)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
         out = nn.Dense(self.dim, name="to_out", dtype=self.compute_dtype)(out)
         return out.astype(in_dtype)
+
+    def _use_fused(self, infer: bool, t: int) -> bool:
+        if not (self.fused_attention and infer) or self.causal:
+            return False
+        if t % 128 != 0 or self.dim_head % 8 != 0:
+            return False
+        if self.fused_attention == "force":
+            return True
+        return jax.default_backend() not in ("cpu", "gpu")
 
 
 class ConformerConvModule(nn.Module):
@@ -262,17 +285,19 @@ class PCmerLayer(nn.Module):
     causal: bool = False
     proj_seed: int = 0
     compute_dtype: object = None
+    fused_attention: object = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, infer: bool = False) -> jnp.ndarray:
         x = x + SelfAttention(
             dim=self.dim,
             heads=self.heads,
             causal=self.causal,
             proj_seed=self.proj_seed,
             compute_dtype=self.compute_dtype,
+            fused_attention=self.fused_attention,
             name="attn",
-        )(nn.LayerNorm(epsilon=1e-5, name="norm")(x))
+        )(nn.LayerNorm(epsilon=1e-5, name="norm")(x), infer=infer)
         x = x + ConformerConvModule(
             dim=self.dim, causal=self.causal,
             compute_dtype=self.compute_dtype, name="conv"
@@ -288,9 +313,10 @@ class PCmer(nn.Module):
     dim_model: int
     causal: bool = False
     compute_dtype: object = None  # e.g. jnp.bfloat16; residuals stay fp32
+    fused_attention: object = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, infer: bool = False) -> jnp.ndarray:
         for i in range(self.num_layers):
             x = PCmerLayer(
                 dim=self.dim_model,
@@ -298,6 +324,7 @@ class PCmer(nn.Module):
                 causal=self.causal,
                 proj_seed=i,
                 compute_dtype=self.compute_dtype,
+                fused_attention=self.fused_attention,
                 name=f"layer_{i}",
-            )(x)
+            )(x, infer=infer)
         return x

@@ -42,6 +42,7 @@ class Unit2Control(nn.Module):
     num_heads: int = 8
     frame_norm: bool = False  # frame-local prenet norm (exactly streamable)
     compute_dtype: object = None  # e.g. jnp.bfloat16 for the PCmer decoder
+    fused_attention: object = True  # Pallas FAVOR+ at inference (nn/pcmer.py)
 
     @nn.compact
     def __call__(
@@ -52,6 +53,7 @@ class Unit2Control(nn.Module):
         volume: jnp.ndarray,
         spk_id: Optional[jnp.ndarray] = None,
         spk_mix_dict: Optional[Dict[int, float]] = None,
+        infer: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """
         Args:
@@ -101,8 +103,9 @@ class Unit2Control(nn.Module):
             dim_model=d,
             causal=self.causal,
             compute_dtype=self.compute_dtype,
+            fused_attention=self.fused_attention,
             name="decoder",
-        )(x)
+        )(x, infer=infer)
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         ndim_out = sum(self.output_splits.values())
         e = WeightNormDense(ndim_out, name="dense_out")(x)

@@ -420,6 +420,129 @@ def _ltv_conv_vjp_bwd(n_fft, interpret, res, g):
 ltv_fir_convolve_pallas.defvjp(_ltv_conv_vjp_fwd, _ltv_conv_vjp_bwd)
 
 
+# ------------------ fused Performer attention (FAVOR+) ----------------------
+#
+# The PCmer's non-causal attention (nn/pcmer.py softmax_kernel +
+# linear_attention; reference pcmer.py:69-159) computes (B, H, T, m=266)
+# feature tensors for q and k — at the batch-128 headline geometry ~0.5 GB
+# each in HBM, round-tripped through the fp32 exp stabilization. This kernel
+# processes one (batch row, head-group) per program: features, the (m, d)
+# context, the key-sum and the normalized output all live in VMEM; HBM sees
+# q/k/v once and the output once. Head loop inside the program keeps the
+# live set small. Inference-path only (the PCmer plumbs `infer`); training
+# keeps the XLA formulation and its full-precision gradients.
+
+_PA_HEADS = 8  # heads per program (one batch row of the 8-head PCmer)
+
+
+def _performer_attn_kernel(q_ref, k_ref, v_ref, proj_ref, out_ref, *,
+                           n_heads: int, m_real: int, eps: float,
+                           stab_eps: float, mxu_bf16: bool):
+    # refs: (1, H, d, T) q/k/v (feature-major: last dims (d, T) satisfy the
+    # (8, 128) tiling); (d, m_pad) projection (pre-transposed, pre-scaled by
+    # d**-0.25); out (1, H, d, T). Everything per head computes in the
+    # (m, T) orientation so the diag/max/denom (1, T) rows broadcast.
+    cast = (lambda x: x.astype(jnp.bfloat16)) if mxu_bf16 else (lambda x: x)
+    m_pad = proj_ref.shape[-1]
+    d = proj_ref.shape[0]
+    ratio = m_real ** -0.5
+    row = jax.lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0)
+    valid = (row < m_real).astype(jnp.float32)
+    proj = proj_ref[:, :]
+    for h in range(n_heads):
+        q = q_ref[0, h]  # (d, T) fp32
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        # ddT :: (m, T) = proj^T-major features
+        dd_q = jax.lax.dot_general(
+            proj, cast(q), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dd_k = jax.lax.dot_general(
+            proj, cast(k), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        neg = -1e30  # pad feature rows must not win the max / contribute
+        dd_q = jnp.where(valid > 0, dd_q, neg)
+        dd_k = jnp.where(valid > 0, dd_k, neg)
+        # diag = |x|^2/2 * d^-0.5 (x raw here; softmax_kernel folds the
+        # d^-0.25 normalizer into the squared norm)
+        dq = jnp.sum(q * q, axis=0, keepdims=True) * (0.5 / np.sqrt(d))
+        dk = jnp.sum(k * k, axis=0, keepdims=True) * (0.5 / np.sqrt(d))
+        qf = ratio * (
+            jnp.exp(dd_q - dq - jnp.max(dd_q, axis=0, keepdims=True))
+            + stab_eps
+        ) * valid
+        kf = ratio * jnp.exp(dd_k - dk + stab_eps) * valid
+        # context :: (m, d) = sum_t kf[:, t] v[:, t]^T
+        ctx = jax.lax.dot_general(
+            cast(kf), cast(v), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        k_sum = jnp.sum(kf, axis=1, keepdims=True)  # (m, 1)
+        denom = jax.lax.dot_general(
+            cast(k_sum), cast(qf), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + eps  # (1, T)
+        num = jax.lax.dot_general(
+            cast(ctx), cast(qf), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (d, T)
+        out_ref[0, h] = num / denom
+
+
+def performer_attention_reference(q, k, v, projection):
+    """XLA reference: softmax_kernel(q/k) + linear_attention, matching
+    nn/pcmer.py numerics. q/k/v :: (B, H, T, d)."""
+    from ..nn.pcmer import softmax_kernel, linear_attention
+
+    qf = softmax_kernel(q, projection, is_query=True)
+    kf = softmax_kernel(k, projection, is_query=False)
+    return linear_attention(qf, kf, v)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mxu_bf16", "interpret")
+)
+def performer_attention_pallas(
+    q, k, v, projection, mxu_bf16: bool = False, interpret: bool = False
+):
+    """Fused FAVOR+ attention. q/k/v :: (B, H, T, d); projection :: (m, d).
+    Returns (B, H, T, d) fp32. Requires T % 128 == 0 and d % 8 == 0 (the
+    caller transposes into the kernel's feature-major (B, H, d, T) layout)."""
+    b, h, t, d = q.shape
+    m = projection.shape[0]
+    m_pad = -(-m // 128) * 128
+    # pre-transpose + pre-scale the projection: dd = (x d^-0.25) @ proj^T
+    pt = jnp.pad(
+        jnp.transpose(projection, (1, 0)) * (d ** -0.25),
+        ((0, 0), (0, m_pad - m)),
+    )
+    in_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    pt = pt.astype(in_dtype)
+    tr = lambda x: jnp.transpose(x.astype(jnp.float32), (0, 1, 3, 2))
+    kernel = functools.partial(
+        _performer_attn_kernel, n_heads=h, m_real=m, eps=1e-8,
+        stab_eps=1e-4, mxu_bf16=mxu_bf16,
+    )
+    qkv_spec = pl.BlockSpec((1, h, d, t), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, d, t), jnp.float32),
+        grid=(b,),
+        in_specs=[
+            qkv_spec, qkv_spec, qkv_spec,
+            pl.BlockSpec((d, m_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, d, t), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tr(q), tr(k), tr(v), pt)
+    return jnp.transpose(out, (0, 1, 3, 2))
+
+
 # ------------------ fused CombSubFast spectral chain ------------------------
 #
 # The CombSubFast synthesizer's STFT-domain filtering (reference

@@ -217,3 +217,30 @@ def test_combsubfast_fused_spectral_matches_xla():
     ref, got = np.asarray(ref), np.asarray(got)
     scale = np.abs(ref).max() + 1e-9
     assert np.abs(got - ref).max() / scale < 2e-5
+
+
+def test_combsubfast_fused_attention_matches_xla():
+    """CombSubFast with the fused Pallas FAVOR+ attention (forced, interpret
+    on CPU) must match the XLA attention path. T=128 satisfies the kernel's
+    lane constraint."""
+    b, n_frames, n_unit, block = 2, 128, 64, 64
+    units, f0, volume, spk_id, noise = _random_inputs(
+        41, b=b, n_frames=n_frames, n_unit=n_unit, block=block
+    )
+    kw = dict(sampling_rate=16000, block_size=block, n_unit=n_unit, n_spk=4,
+              fused_spectral=False)
+    m_ref = CombSubFast(**kw, fused_attention=False)
+    m_fused = CombSubFast(**kw, fused_attention="force")
+    variables = m_ref.init(
+        {"params": jax.random.key(6)}, jnp.asarray(units), jnp.asarray(f0),
+        jnp.asarray(volume), jnp.asarray(spk_id), noise=jnp.asarray(noise),
+    )
+    args = (jnp.asarray(units), jnp.asarray(f0), jnp.asarray(volume),
+            jnp.asarray(spk_id))
+    ref, _, _ = m_ref.apply(variables, *args, infer=True,
+                            noise=jnp.asarray(noise))
+    got, _, _ = m_fused.apply(variables, *args, infer=True,
+                              noise=jnp.asarray(noise))
+    ref, got = np.asarray(ref), np.asarray(got)
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 5e-5

@@ -463,3 +463,45 @@ def test_combsub_spectral_kernel_gradient():
         assert np.abs(gk - gr).max() / scale < 2e-5, (
             name, np.abs(gk - gr).max() / scale
         )
+
+
+def test_performer_attention_kernel_matches_xla():
+    """Fused FAVOR+ attention (interpret) vs softmax_kernel +
+    linear_attention, fp32, including the m -> 384 feature padding."""
+    from ddsp_svc_tpu.ops.pallas_kernels import (
+        performer_attention_pallas, performer_attention_reference,
+    )
+    from ddsp_svc_tpu.nn.pcmer import gaussian_orthogonal_random_matrix
+
+    rng = np.random.default_rng(21)
+    b, h, t, d = 2, 3, 128, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    proj = jnp.asarray(gaussian_orthogonal_random_matrix(266, d, seed=3))
+    ref = np.asarray(performer_attention_reference(q, k, v, proj))
+    got = np.asarray(performer_attention_pallas(
+        q, k, v, proj, mxu_bf16=False, interpret=True
+    ))
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 2e-5, (
+        np.abs(got - ref).max() / scale
+    )
+
+
+def test_pcmer_fused_attention_model_path():
+    """PCmer with fused_attention='force' (interpret) must match the XLA
+    path end-to-end through the module plumbing."""
+    from ddsp_svc_tpu.nn.pcmer import PCmer
+
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.standard_normal((2, 128, 64)).astype(np.float32))
+    ref_mod = PCmer(num_layers=2, num_heads=2, dim_model=64,
+                    fused_attention=False)
+    v = ref_mod.init(jax.random.key(0), x)
+    ref = np.asarray(ref_mod.apply(v, x, infer=True))
+    fused_mod = PCmer(num_layers=2, num_heads=2, dim_model=64,
+                      fused_attention="force")
+    got = np.asarray(fused_mod.apply(v, x, infer=True))
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 2e-5

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""A/B: CombSubFast synth program with the fused Pallas spectral kernel vs
-the plain XLA FFT chain, alternating calls (relay latency drifts minute to
-minute, CLAUDE.md) at the headline geometry.
+"""A/B: CombSubFast synth program with a chosen Pallas feature toggled,
+alternating calls (relay latency drifts minute to minute, CLAUDE.md) at the
+headline geometry. --feature spectral|attention.
 
 Run on TPU:  python tools/ab_synth_spectral.py [--batch 128]
 """
@@ -20,6 +20,8 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--frames", type=int, default=512)
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--feature", choices=("spectral", "attention"),
+                   default="spectral")
     args = p.parse_args()
 
     import jax
@@ -38,8 +40,12 @@ def main():
     models, fns = {}, {}
     variables = None
     for name, fused in [("xla", False), ("fused", True)]:
+        if args.feature == "spectral":
+            kw = dict(fused_spectral=fused)
+        else:
+            kw = dict(fused_attention=fused)
         model = CombSubFast(sampling_rate=sr, block_size=bs, n_unit=n_unit,
-                            n_spk=8, bf16=True, fused_spectral=fused)
+                            n_spk=8, bf16=True, **kw)
         if variables is None:
             variables = jax.jit(
                 lambda k, m=model: m.init({"params": k}, units, f0, volume,
