@@ -329,6 +329,16 @@ class UnitsEncoder:
             )
         self._apply = jax.jit(self.model.apply)
 
+        def _encode(variables, audio, sample_rate, n_frames, ratio):
+            if sample_rate != self.encoder_sample_rate:
+                audio = resample(audio, sample_rate, self.encoder_sample_rate)
+            units = self.model.apply(variables, audio)
+            return nearest_align(units, n_frames, ratio)
+
+        self._encode_jit = jax.jit(
+            _encode, static_argnames=("sample_rate", "n_frames", "ratio")
+        )
+
     def _load_ckpt(self, path: str):
         from ..utils.convert import (
             convert_hubert_state_dict,
@@ -358,15 +368,16 @@ class UnitsEncoder:
         return jax.tree.map(jnp.asarray, variables)
 
     def encode(self, audio: np.ndarray, sample_rate: int, hop_size: int) -> np.ndarray:
-        """:: (B, T) at sample_rate -> (B, T//hop+1, 256)."""
-        audio = jnp.asarray(audio, dtype=jnp.float32)
-        if sample_rate != self.encoder_sample_rate:
-            audio_res = resample(audio, sample_rate, self.encoder_sample_rate)
-        else:
-            audio_res = audio
-        units = self._apply(self.variables, audio_res)
-        n_frames = audio.shape[-1] // hop_size + 1
+        """:: (B, T) at sample_rate -> (B, T//hop+1, 256).
+
+        resample -> encoder -> nearest alignment run as ONE jit program
+        (the eager resample/align dispatched ~7 extra device round-trips
+        per call — each a full relay round-trip on remote backends)."""
+        n_frames = int(audio.shape[-1] // hop_size) + 1
         ratio = (hop_size / sample_rate) / (
             self.encoder_hop_size / self.encoder_sample_rate
         )
-        return np.asarray(nearest_align(units, n_frames, ratio))
+        return np.asarray(self._encode_jit(
+            self.variables, jnp.asarray(audio, dtype=jnp.float32),
+            int(sample_rate), n_frames, float(ratio),
+        ))

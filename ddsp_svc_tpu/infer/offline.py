@@ -58,15 +58,24 @@ def cross_fade(a: np.ndarray, b: np.ndarray, idx: int) -> np.ndarray:
     return result
 
 
+def response_frame_mask(volume: np.ndarray, threshold_db: float) -> np.ndarray:
+    """Volume-threshold mask with 9-frame max dilation, at frame rate
+    (host part of main.py:112-116)."""
+    mask = (volume > 10 ** (threshold_db / 20)).astype(np.float32)
+    mask = np.pad(mask, (4, 4), constant_values=(mask[0], mask[-1]))
+    return np.array([np.max(mask[n: n + 9]) for n in range(len(mask) - 8)])
+
+
 def response_mask(volume: np.ndarray, threshold_db: float, block_size: int
                   ) -> np.ndarray:
     """Volume-threshold mask with 9-frame max dilation, upsampled to sample
-    rate (main.py:112-116)."""
-    mask = (volume > 10 ** (threshold_db / 20)).astype(np.float32)
-    mask = np.pad(mask, (4, 4), constant_values=(mask[0], mask[-1]))
-    mask = np.array([np.max(mask[n: n + 9]) for n in range(len(mask) - 8)])
-    mask_up = upsample_frames(jnp.asarray(mask)[None, :, None], block_size)
-    return np.asarray(mask_up)[:, :, 0]  # (1, T)
+    rate (main.py:112-116). Pure numpy — the device upsample cost a relay
+    round-trip per call on remote backends."""
+    mask = response_frame_mask(volume, threshold_db)
+    nxt = np.concatenate([mask[1:], mask[-1:]])
+    w = (np.arange(block_size) / block_size).astype(np.float32)
+    up = mask[:, None] + (nxt - mask)[:, None] * w[None, :]
+    return up.reshape(1, -1).astype(np.float32)  # (1, T)
 
 
 def run_inference(

@@ -71,11 +71,21 @@ def sola_shift(temp_wav: np.ndarray, sola_buffer: np.ndarray,
 class SvcCore:
     """Whole-window conversion (SvcDDSP parity, gui.py:34-140)."""
 
-    def __init__(self, model_path: str, mesh=None, mesh_axis: str = "data"):
+    def __init__(self, model_path: str, mesh=None, mesh_axis: str = "data",
+                 fused_window: bool = False):
         """mesh: optional jax.sharding.Mesh — time-shard each window's
-        synthesis over the mesh (multi-chip streaming; SURVEY §2.3)."""
+        synthesis over the mesh (multi-chip streaming; SURVEY §2.3).
+        fused_window: run resample -> units encoder -> alignment -> synth ->
+        mask (-> enhancer with a numeric adaptive key) as ONE jit program
+        per window shape. Built for local single-dispatch deployments;
+        measured SLOWER through this environment's remote-execution relay
+        (p50 447 vs 190 ms per 300 ms block, tools/ab_stream_fused.py) —
+        the relay's per-call overhead grows with the single large program —
+        so it defaults off. Numerically identical to the default path
+        (tests/test_streaming.py::test_fused_window_matches_legacy_infer)."""
         self.model, self.variables, self.args = load_model(model_path)
         self.mesh, self.mesh_axis = mesh, mesh_axis
+        self.fused_window = fused_window and mesh is None
         self.units_encoder = UnitsEncoder(
             self.args.data.encoder,
             self.args.data.encoder_ckpt,
@@ -95,6 +105,7 @@ class SvcCore:
                 self.enhancer = None
         self._step = 0
         self._synth_cache: Dict = {}
+        self._window_cache: Dict = {}
 
     def _synth(self, spk_mix_dict):
         """Bucketed jitted synth per spk-mix configuration (eager
@@ -108,6 +119,92 @@ class SvcCore:
                 mesh=self.mesh, mesh_axis=self.mesh_axis,
             )
         return self._synth_cache[key]
+
+    def _window_fn(self, sample_rate, spk_mix_dict, enh_cfg):
+        """One jitted program for the whole window: resample -> units
+        encoder -> nearest alignment -> synth -> mask multiply
+        (-> enhancer chain when enh_cfg is set). jit caches per window
+        shape — streaming windows are fixed-size, so this compiles once.
+
+        enh_cfg: None, or (adaptive_sample_rate, start_frame) with a
+        numeric adaptive key ('auto' changes the resample rates per window
+        and must use the legacy path)."""
+        from ..data.features import nearest_align
+        from ..ops import upsample_frames
+
+        mix_key = (
+            tuple(sorted(spk_mix_dict.items())) if spk_mix_dict else None
+        )
+        key = (sample_rate, mix_key, enh_cfg)
+        if key in self._window_cache:
+            return self._window_cache[key]
+
+        enc = self.units_encoder
+        model = self.model
+        model_sr = int(self.args.data.sampling_rate)
+        block = int(self.args.data.block_size)
+        enhancer = self.enhancer
+
+        # parameter trees are passed as ARGUMENTS: closing over them would
+        # inline hundreds of MB of literal constants into the HLO and
+        # overflow the remote-compile relay's request limit (HTTP 413)
+        def fn(enc_vars, variables, enh_vars, audio, f0, volume, frame_mask,
+               spk_id, rng, f0_res, rand_ini):
+            # units (UnitsEncoder.encode parity, on-device end to end)
+            if sample_rate != enc.encoder_sample_rate:
+                audio16 = resample(audio, sample_rate, enc.encoder_sample_rate)
+            else:
+                audio16 = audio
+            units = enc.model.apply(enc_vars, audio16)
+            n_frames = f0.shape[1]
+            hop_size = block * sample_rate / model_sr
+            ratio = (hop_size / sample_rate) / (
+                enc.encoder_hop_size / enc.encoder_sample_rate
+            )
+            units = nearest_align(units, n_frames, ratio)
+
+            # pad to the same power-of-two frame bucket as make_jitted_synth
+            # (keeps jit cache buckets AND the model's internal noise-rng
+            # draw shapes identical to the legacy path)
+            bucket = max(32, 1 << (int(n_frames) - 1).bit_length())
+            pad = bucket - n_frames
+            if pad:
+                units = jnp.pad(units, ((0, 0), (0, pad), (0, 0)))
+                f0 = jnp.pad(f0, ((0, 0), (0, pad), (0, 0)), mode="edge")
+                volume = jnp.pad(volume, ((0, 0), (0, pad)))
+            signal, _, _ = model.apply(
+                variables, units, f0, volume, spk_id,
+                spk_mix_dict=spk_mix_dict, infer=True, rngs={"noise": rng},
+            )
+            signal = signal[:, : n_frames * block]
+            mask = upsample_frames(frame_mask[..., None], block)[..., 0]
+            signal = signal * mask[:, : signal.shape[-1]]
+            if enh_cfg is None:
+                return signal
+            # Enhancer.enhance with static rates (numeric adaptive key)
+            adaptive_sr, start_frame = enh_cfg
+            enh = enhancer.enhancer
+            real_silence_front = start_frame * block / model_sr
+            sig = signal[:, int(np.round(real_silence_front * model_sr)):]
+            if model_sr != adaptive_sr:
+                sig = resample(sig, model_sr, adaptive_sr)
+            enhanced = enh._forward_impl(enh_vars, sig, f0_res, rand_ini)
+            if adaptive_sr != enh.sample_rate:
+                enhanced = resample(enhanced, adaptive_sr, enh.sample_rate)
+            if start_frame > 0:
+                pad = int(np.round(enh.sample_rate * real_silence_front))
+                enhanced = jnp.pad(enhanced, ((0, 0), (pad, 0)))
+            return enhanced
+
+        jitted = jax.jit(fn)
+        enh_vars = (
+            enhancer.enhancer.variables if enh_cfg is not None else {}
+        )
+        bound = lambda *a: jitted(
+            enc.variables, self.variables, enh_vars, *a
+        )
+        self._window_cache[key] = bound
+        return bound
 
     def infer(
         self,
@@ -136,11 +233,19 @@ class SvcCore:
         f0 = f0[None, :, None] * 2 ** (float(pitch_adjust) / 12)
 
         volume = VolumeExtractor(hop_size).extract(audio)
-        mask = response_mask(volume, threshold_db, self.args.data.block_size)
-        units = self.units_encoder.encode(audio[None, :], sample_rate, hop_size)
 
         self._step += 1
         rng = jax.random.key(self._step)
+        enh_on = use_enhancer and self.enhancer is not None
+        if self.fused_window and (not enh_on or enhancer_adaptive_key != "auto"):
+            return self._infer_fused(
+                audio, sample_rate, f0, volume, spk_id, threshold_db,
+                use_spk_mix, spk_mix_dict, enh_on, enhancer_adaptive_key,
+                silence_front, rng,
+            )
+
+        mask = response_mask(volume, threshold_db, self.args.data.block_size)
+        units = self.units_encoder.encode(audio[None, :], sample_rate, hop_size)
         synth = self._synth(spk_mix_dict if use_spk_mix else None)
         out = synth(
             units,
@@ -150,7 +255,7 @@ class SvcCore:
             rng,
         )
         out = out * mask[:, : out.shape[-1]]
-        if use_enhancer and self.enhancer is not None:
+        if enh_on:
             out, out_sr = self.enhancer.enhance(
                 out, self.args.data.sampling_rate, f0, self.args.data.block_size,
                 adaptive_key=enhancer_adaptive_key, silence_front=silence_front,
@@ -158,6 +263,71 @@ class SvcCore:
             )
         else:
             out_sr = self.args.data.sampling_rate
+        return np.asarray(out)[0], out_sr
+
+    def _infer_fused(self, audio, sample_rate, f0, volume, spk_id,
+                     threshold_db, use_spk_mix, spk_mix_dict, enh_on,
+                     adaptive_key, silence_front, rng):
+        """Single-dispatch window conversion (host feature extraction stays
+        host-side; everything device lands in one jit program)."""
+        from .offline import response_frame_mask
+
+        model_sr = int(self.args.data.sampling_rate)
+        block = int(self.args.data.block_size)
+        frame_mask = response_frame_mask(volume, threshold_db)
+
+        enh_cfg = None
+        f0_res = np.zeros((1, 1), dtype=np.float32)
+        rand_ini = np.zeros((1, 9), dtype=np.float32)
+        out_sr = model_sr
+        if enh_on:
+            # host math of Enhancer.enhance (static rates: numeric key)
+            enh = self.enhancer.enhancer
+            start_frame = int(silence_front * model_sr / block)
+            real_silence_front = start_frame * block / model_sr
+            adaptive_factor = 2.0 ** (-float(adaptive_key) / 12.0)
+            adaptive_sr = 100 * int(
+                np.round(enh.sample_rate / adaptive_factor / 100)
+            )
+            real_factor = enh.sample_rate / adaptive_sr
+            # the synth output has n_frames*block samples (f0's frame count)
+            n_frames_synth = int(np.asarray(f0).shape[1])
+            sig_len = n_frames_synth * block - int(
+                np.round(real_silence_front * model_sr)
+            )
+            if model_sr != adaptive_sr:
+                res_len = -(-sig_len * adaptive_sr // model_sr)  # ceil
+            else:
+                res_len = sig_len
+            n_frames_enh = int(res_len // enh.hop_size + 1)
+            f0_cut = np.asarray(f0)[0, start_frame:, 0] * real_factor
+            time_org = (block / model_sr) * np.arange(len(f0_cut)) / real_factor
+            time_frame = (enh.hop_size / enh.sample_rate) * np.arange(
+                n_frames_enh
+            )
+            f0_res = np.interp(
+                time_frame, time_org, f0_cut, left=f0_cut[0], right=f0_cut[-1]
+            )[None, :].astype(np.float32)
+            rand_ini = np.array(
+                jax.random.uniform(jax.random.fold_in(rng, 1), (1, 9))
+            )
+            rand_ini[:, 0] = 0.0
+            enh_cfg = (adaptive_sr, start_frame)
+            out_sr = enh.sample_rate
+
+        fn = self._window_fn(
+            sample_rate, spk_mix_dict if use_spk_mix else None, enh_cfg
+        )
+        out = fn(
+            jnp.asarray(audio, dtype=jnp.float32)[None, :],
+            jnp.asarray(f0, dtype=jnp.float32),
+            jnp.asarray(volume, dtype=jnp.float32)[None, :],
+            jnp.asarray(frame_mask, dtype=jnp.float32)[None, :],
+            jnp.asarray([[int(spk_id)]], dtype=jnp.int64),
+            rng,
+            jnp.asarray(f0_res),
+            jnp.asarray(rand_ini),
+        )
         return np.asarray(out)[0], out_sr
 
 

@@ -103,3 +103,48 @@ def test_phase_vocoder_endpoints():
     )
     assert abs(out[0] - a[0]) < 0.05
     assert np.isfinite(out).all()
+
+
+def test_fused_window_matches_legacy_infer(tmp_path):
+    """SvcCore's single-dispatch fused window program must match the legacy
+    multi-dispatch path (units encode -> synth -> mask -> enhancer) exactly,
+    with and without the enhancer."""
+    import bench_stream
+    from ddsp_svc_tpu.infer.streaming import SvcCore
+    from ddsp_svc_tpu.infer.enhancer import Enhancer
+
+    sr, block = 16000, 256
+    path = bench_stream._make_ckpt(str(tmp_path), sr, block, causal=False,
+                                   frame_norm=False, bf16=False)
+    core = SvcCore(path)
+    h = {
+        "sampling_rate": sr, "num_mels": 16, "n_fft": 512, "win_size": 512,
+        "hop_size": 256, "fmin": 40, "fmax": 8000,
+        "upsample_rates": [8, 8, 2, 2], "upsample_kernel_sizes": [16, 16, 4, 4],
+        "upsample_initial_channel": 32, "resblock": "1",
+        "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 3, 5]],
+    }
+    core.enhancer = Enhancer("nsf-hifigan", None, h=h)
+    song = bench_stream._song(sr, 1.2)
+
+    for use_enh, adaptive_key in ((False, 0), (True, 0), (True, 2)):
+        core.fused_window = True
+        core._step = 0
+        got, sr_got = core.infer(
+            song, sr, spk_id=1, use_enhancer=use_enh,
+            enhancer_adaptive_key=adaptive_key, pitch_extractor_type="dio",
+            safe_prefix_pad_length=0.2,
+        )
+        core.fused_window = False
+        core._step = 0
+        ref, sr_ref = core.infer(
+            song, sr, spk_id=1, use_enhancer=use_enh,
+            enhancer_adaptive_key=adaptive_key, pitch_extractor_type="dio",
+            safe_prefix_pad_length=0.2,
+        )
+        assert sr_got == sr_ref
+        assert got.shape == ref.shape, (use_enh, got.shape, ref.shape)
+        scale = np.abs(ref).max() + 1e-9
+        assert np.abs(got - ref).max() / scale < 5e-5, (
+            use_enh, adaptive_key, np.abs(got - ref).max() / scale
+        )
