@@ -916,11 +916,43 @@ def _rb_conv_cf(h, mask, w_ref, b_ref, i, j, k, d, n_ch, mxu_bf16,
     return acc + b_ref[i, j, 0, :n_ch][:, None]
 
 
+_INTERLEAVE = True  # emit the three independent resblock chains stepwise
+# (conv-by-conv across resblocks) instead of chain-by-chain: Mosaic
+# schedules largely in program order, so interleaving gives it one chain's
+# tap rolls (VPU) to run under another's conv dots (MXU). No halo cost
+# (unlike the `split` variant, which measured a loss). Bitwise-identical
+# results; wins where rolls dominate (C<=32: 127->120 / 127->117 ms at
+# batch 128), loses slightly at C=64 (132->133) — gated by width.
+_INTERLEAVE_MAX_C = 32
+
+
 def _trio_chain(x, mask, w_refs, b_refs, kernel_sizes, dilations, mxu_bf16,
                 roll_im2col):
     """Resblock-trio chain on a VMEM tile (shared by the trio and stage
     kernels). x :: (C, W) fp32."""
     n_ch = x.shape[0]
+    if _INTERLEAVE and n_ch <= _INTERLEAVE_MAX_C:
+        hs = [x] * len(kernel_sizes)
+        for i, d in enumerate(dilations):
+            for j, (w_ref, b_ref, k) in enumerate(
+                zip(w_refs, b_refs, kernel_sizes)
+            ):
+                t = _leaky_k(hs[j])
+                t = _rb_conv_cf(t, mask, w_ref, b_ref, i, 0, k, d, n_ch,
+                                mxu_bf16, roll_im2col)
+                hs[j] = (hs[j], t)
+            for j, (w_ref, b_ref, k) in enumerate(
+                zip(w_refs, b_refs, kernel_sizes)
+            ):
+                h, t = hs[j]
+                t = _leaky_k(t)
+                t = _rb_conv_cf(t, mask, w_ref, b_ref, i, 1, k, 1, n_ch,
+                                mxu_bf16, roll_im2col)
+                hs[j] = h + t
+        acc = None
+        for h in hs:
+            acc = h if acc is None else acc + h
+        return acc / len(kernel_sizes)
     acc = None
     for w_ref, b_ref, k in zip(w_refs, b_refs, kernel_sizes):
         h = x

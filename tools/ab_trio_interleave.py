@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""A/B: interleaved vs sequential emission of the trio kernel's three
+resblock chains (Mosaic schedules largely in program order; interleaving
+offers one chain's VPU rolls under another's MXU dots).
+
+Run on TPU:  python tools/ab_trio_interleave.py [--batch 128]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--iters", type=int, default=6)
+    p.add_argument("--channels", type=int, nargs="+", default=[64, 32, 16])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ddsp_svc_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(time.time_ns() % (2**32))
+    ks, dils = (3, 7, 11), (1, 3, 5)
+    b = args.batch
+
+    for c in args.channels:
+        t = 4194304 // c
+        x = jnp.asarray(
+            rng.standard_normal((b, t, c)).astype(np.float32) * 0.1
+        )
+        ws, bs = [], []
+        for k in ks:
+            ws.append(jnp.asarray(
+                (rng.standard_normal((3, 2, k, c, c)) * (2.0 / (k * c)) ** 0.5
+                 ).astype(np.float32)
+            ))
+            bs.append(jnp.asarray(
+                (rng.standard_normal((3, 2, c)) * 0.01).astype(np.float32)
+            ))
+        fns, sums = {}, {}
+        for name, inter in (("seq", False), ("interleave", True)):
+            pk._INTERLEAVE = inter
+            fn = jax.jit(
+                lambda xx: jnp.sum(pk.fused_resblocks_pallas(
+                    x=xx, w0=ws[0], w1=ws[1], w2=ws[2],
+                    b0=bs[0], b1=bs[1], b2=bs[2],
+                    kernel_sizes=ks, dilations=dils, tile=None,
+                    mxu_bf16=False, interpret=False,
+                ))
+            )
+            sums[name] = float(fn(x))
+            fns[name] = fn
+            print(f"compiled C={c} {name}", flush=True)
+        pk._INTERLEAVE = True
+        rel = abs(sums["interleave"] - sums["seq"]) / (abs(sums["seq"]) + 1e-9)
+        print(f"C={c} checksum rel diff {rel:.2e}", flush=True)
+        times = {name: [] for name in fns}
+        for i in range(1, args.iters + 1):
+            for name, fn in fns.items():
+                xx = x * (1 + 1e-3 * i)
+                st = time.perf_counter()
+                float(fn(xx))
+                times[name].append(time.perf_counter() - st)
+        for name in fns:
+            med = float(np.median(times[name])) * 1e3
+            print(f"C={c:3d} {name:10s}: {med:8.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
