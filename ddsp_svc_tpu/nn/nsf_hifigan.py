@@ -206,6 +206,11 @@ class Generator(nn.Module):
     # and for geometries the kernel doesn't cover; "force" runs it in
     # interpret mode off-TPU (tests).
     fused_resblocks: object = True
+    # Fold each fused stage's f0-source injection conv into the trio
+    # kernel (the nc output and the add skip HBM). Measured a wash at the
+    # batch-128 headline (1389 vs 1391x, within relay drift) — kept on for
+    # the saved XLA passes; flip for A/Bs.
+    fused_inject: bool = True
     # MXU input precision inside the fused kernel (fp32 accumulation and
     # fp32 residual carries either way). False measured ~5% faster at the
     # fused widths (C<=64): TPU default dot precision truncates fp32 inputs
@@ -296,11 +301,19 @@ class Generator(nn.Module):
                 continue
             x = _leaky(x)
             x = up_mod(x)
-            xs_src = nc_mod(har)
-            x = x + xs_src[:, : x.shape[1], :]
             if self._use_fused(ch, stage_dtype):
-                x = self._fused_trio(rbs, x, i, ch)
+                if self.fused_inject:
+                    # f0-source injection folded into the trio kernel (the
+                    # nc output and the add never round-trip HBM)
+                    x = self._fused_trio(rbs, x, i, ch, nc_mod=nc_mod,
+                                         har=har, stride_f0=stride_f0)
+                else:
+                    xs_src = nc_mod(har)
+                    x = x + xs_src[:, : x.shape[1], :]
+                    x = self._fused_trio(rbs, x, i, ch)
             else:
+                xs_src = nc_mod(har)
+                x = x + xs_src[:, : x.shape[1], :]
                 xs = None
                 for r in rbs:
                     r_out = r(x)
@@ -401,17 +414,23 @@ class Generator(nn.Module):
             mxu_bf16=self.fused_mxu_bf16, interpret=interp,
         )
 
-    def _fused_trio(self, rbs, x, i: int, ch: int) -> jnp.ndarray:
-        """Run the stage's resblock trio as one VMEM-resident Pallas pass.
+    def _fused_trio(self, rbs, x, i: int, ch: int, nc_mod=None, har=None,
+                    stride_f0: int = 1) -> jnp.ndarray:
+        """Run the stage's resblock trio as one VMEM-resident Pallas pass,
+        with the f0-source injection conv folded in when nc_mod is given.
 
         The flax modules are still invoked once on a dummy frame so the
         parameter tree (and checkpoint format) is identical to the unfused
         path; the real compute reads those params directly."""
-        from ..ops.pallas_kernels import fused_resblocks_pallas
+        from ..ops.pallas_kernels import (
+            fused_resblocks_pallas, fused_resblocks_inject_pallas,
+        )
 
         dummy = jnp.zeros((1, 1, ch), x.dtype)
         for r in rbs:
             r(dummy)
+        if nc_mod is not None:
+            nc_mod(jnp.zeros((1, max(2 * stride_f0, 1), 1), har.dtype))
         pv = self.variables["params"]
         n_dil = len(self.resblock_dilation_sizes[0])
         ws, bs = [], []
@@ -429,6 +448,13 @@ class Generator(nn.Module):
         ks = tuple(int(k) for k in self.resblock_kernel_sizes)
         dils = tuple(int(d) for d in self.resblock_dilation_sizes[0])
         interp = jax.default_backend() in ("cpu", "gpu")
+        if nc_mod is not None:
+            nc_p = pv[f"noise_conv_{i}"]
+            return fused_resblocks_inject_pallas(
+                x, har, nc_p["kernel"], nc_p["bias"], *ws, *bs,
+                stride_f0, kernel_sizes=ks, dilations=dils, tile=None,
+                mxu_bf16=self.fused_mxu_bf16, interpret=interp,
+            )
         return fused_resblocks_pallas(
             x, *ws, *bs,
             kernel_sizes=ks, dilations=dils, tile=None,

@@ -971,14 +971,26 @@ def _trio_chain(x, mask, w_refs, b_refs, kernel_sizes, dilations, mxu_bf16,
 def _fused_rb_kernel(
     *refs,
     kernel_sizes, dilations, mxu_bf16, n_tiles, tile, seq_len,
-    roll_im2col, split=1,
+    roll_im2col, split=1, inject=False, ksrc=0, c_out=0,
 ):
     n_rb = len(kernel_sizes)
+    base = 0
+    if inject:
+        har_ref, wnc_ref, bnc_ref = refs[1:4]
+        base = 3
     x_ref = refs[0]
-    w_refs = refs[1 : 1 + n_rb]
-    b_refs = refs[1 + n_rb : 1 + 2 * n_rb]
-    out_ref = refs[1 + 2 * n_rb]
+    w_refs = refs[1 + base : 1 + base + n_rb]
+    b_refs = refs[1 + base + n_rb : 1 + base + 2 * n_rb]
+    out_ref = refs[1 + base + 2 * n_rb]
     x = x_ref[0]  # (C, W) fp32
+    if inject:
+        # f0-source injection conv, pre-im2col'd at output rate in XLA:
+        # x0 = x_up + wnc @ har_im2col + bnc (the Generator's noise_conv,
+        # models.py:264-270) — saves the XLA nc write + add round-trips
+        x = x + jax.lax.dot(
+            wnc_ref[:, :ksrc], har_ref[0, :ksrc],
+            preferred_element_type=jnp.float32,
+        ) + bnc_ref[0, :c_out][:, None]
     tile_idx = pl.program_id(0) % n_tiles
     # split > 1 carves the tile into independent half-chains (each with its
     # own halo): their DAGs have no data dependence, letting the scheduler
@@ -1026,7 +1038,7 @@ def resblocks_reference(x, weights, biases, kernel_sizes, dilations):
 
 def _fused_resblocks_fwd_impl(
     x, weights, biases, kernel_sizes, dilations, tile, mxu_bf16, interpret,
-    split=1,
+    split=1, inject=None,
 ):
     b, t, c = x.shape
     if tile is None:
@@ -1043,6 +1055,47 @@ def _fused_resblocks_fwd_impl(
     tiles = jnp.stack(
         [xp[:, :, s : s + width] for s in range(0, t_pad, tile)], axis=1
     ).reshape(b * n_tiles, c, width)
+
+    inj_in, inj_specs, inj_kw = [], [], {}
+    if inject is not None:
+        # f0-source injection: im2col the har signal at output rate in XLA
+        # (column g, tap tau reads har[g*s_src - s_src//2 + tau], the
+        # Generator noise_conv's padding), tiled like the x tiles
+        har, nc_kernel, nc_bias, s_src = inject
+        ksrc = nc_kernel.shape[0]
+        t_final = har.shape[1]
+        har2 = har[..., 0].astype(jnp.float32)
+        need = (t_pad + halo) * s_src + ksrc
+        harp = jnp.pad(
+            har2, ((0, 0), (halo * s_src + s_src // 2,
+                            max(0, need - s_src // 2 - t_final)))
+        )
+        imc = jnp.stack(
+            [harp[:, tau :: s_src][:, : t_pad + 2 * halo]
+             for tau in range(ksrc)],
+            axis=1,
+        )  # (B, ksrc, t_pad + 2*halo)
+        ksrc_pad = -(-ksrc // 8) * 8
+        imc = jnp.pad(imc, ((0, 0), (0, ksrc_pad - ksrc), (0, 0)))
+        hw = jnp.stack(
+            [imc[:, :, r * tile : r * tile + width] for r in range(n_tiles)],
+            axis=1,
+        ).reshape(b * n_tiles, ksrc_pad, width)
+        wnc = jnp.pad(
+            jnp.transpose(nc_kernel[:, 0, :], (1, 0)),
+            ((0, 0), (0, (-ksrc) % 128)),
+        )
+        bnc = jnp.pad(nc_bias[None, :], ((0, 7), (0, (-c) % 128)))
+        inj_in = [hw, wnc, bnc]
+        full_spec = lambda arr: pl.BlockSpec(
+            arr.shape, lambda r: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        )
+        inj_specs = [
+            pl.BlockSpec((1, ksrc_pad, width), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full_spec(wnc), full_spec(bnc),
+        ]
+        inj_kw = dict(inject=True, ksrc=ksrc, c_out=c)
 
     w_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
     w_in, b_in = [], []
@@ -1069,7 +1122,7 @@ def _fused_resblocks_fwd_impl(
         # pltpu.roll has no interpret lowering; _PER_TAP forces the
         # per-tap-dot path for A/B experiments
         roll_im2col=not interpret and not _PER_TAP,
-        split=split,
+        split=split, **inj_kw,
     )
     full = lambda arr: pl.BlockSpec(
         arr.shape, lambda r: (0,) * arr.ndim, memory_space=pltpu.VMEM
@@ -1081,12 +1134,13 @@ def _fused_resblocks_fwd_impl(
         in_specs=(
             [pl.BlockSpec((1, c, width), lambda r: (r, 0, 0),
                           memory_space=pltpu.VMEM)]
+            + inj_specs
             + [full(a) for a in w_in] + [full(a) for a in b_in]
         ),
         out_specs=pl.BlockSpec((1, c, tile), lambda r: (r, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(tiles, *w_in, *b_in)
+    )(tiles, *inj_in, *w_in, *b_in)
     out = out.reshape(b, n_tiles, c, tile).transpose(0, 1, 3, 2)
     return out.reshape(b, t_pad, c)[:, :t].astype(x.dtype)
 
@@ -1131,6 +1185,64 @@ def _fused_rb_vjp_bwd(kernel_sizes, dilations, tile, mxu_bf16, interpret,
 
 
 fused_resblocks_pallas.defvjp(_fused_rb_vjp_fwd, _fused_rb_vjp_bwd)
+
+
+def resblocks_inject_reference(x_up, har, nc_kernel, nc_bias, weights,
+                               biases, kernel_sizes, dilations, s_src):
+    """Plain-XLA: x_up + noise_conv(har) -> trio (VJP oracle/tests)."""
+    ksrc = nc_kernel.shape[0]
+    if ksrc == 1 and s_src == 1:
+        nc = har @ nc_kernel[0] + nc_bias
+    else:
+        nc = jax.lax.conv_general_dilated(
+            har, nc_kernel, window_strides=(s_src,),
+            padding=[(s_src // 2, s_src // 2)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        ) + nc_bias
+    x0 = x_up + nc[:, : x_up.shape[1]]
+    return resblocks_reference(x0, weights, biases, kernel_sizes, dilations)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
+def fused_resblocks_inject_pallas(
+    x_up, har, nc_kernel, nc_bias, w0, w1, w2, b0, b1, b2,
+    s_src: int, kernel_sizes=(3, 7, 11), dilations=(1, 3, 5), tile=None,
+    mxu_bf16=True, interpret=False,
+):
+    """fused_resblocks_pallas with the Generator's f0-source injection conv
+    folded in: x = x_up + noise_conv(har), then the trio — the nc output
+    and the add never round-trip HBM. x_up :: (B, T, C) (the ConvTranspose
+    output); har :: (B, T_final, 1); nc_kernel :: (ksrc, 1, C) flax layout.
+    Backward runs the XLA reference."""
+    return _fused_resblocks_fwd_impl(
+        x_up, (w0, w1, w2), (b0, b1, b2), kernel_sizes, dilations, tile,
+        mxu_bf16, interpret, inject=(har, nc_kernel, nc_bias, s_src),
+    )
+
+
+def _fused_rbi_vjp_fwd(x_up, har, nc_kernel, nc_bias, w0, w1, w2, b0, b1, b2,
+                       s_src, kernel_sizes, dilations, tile, mxu_bf16,
+                       interpret):
+    out = _fused_resblocks_fwd_impl(
+        x_up, (w0, w1, w2), (b0, b1, b2), kernel_sizes, dilations, tile,
+        mxu_bf16, interpret, inject=(har, nc_kernel, nc_bias, s_src),
+    )
+    return out, (x_up, har, nc_kernel, nc_bias, w0, w1, w2, b0, b1, b2)
+
+
+def _fused_rbi_vjp_bwd(s_src, kernel_sizes, dilations, tile, mxu_bf16,
+                       interpret, res, g):
+    x_up, har, nc_kernel, nc_bias, w0, w1, w2, b0, b1, b2 = res
+    _, vjp = jax.vjp(
+        lambda xu, h, nk, nb, *wb: resblocks_inject_reference(
+            xu, h, nk, nb, wb[:3], wb[3:], kernel_sizes, dilations, s_src
+        ),
+        x_up, har, nc_kernel, nc_bias, w0, w1, w2, b0, b1, b2,
+    )
+    return vjp(g)
+
+
+fused_resblocks_inject_pallas.defvjp(_fused_rbi_vjp_fwd, _fused_rbi_vjp_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))

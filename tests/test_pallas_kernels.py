@@ -505,3 +505,53 @@ def test_pcmer_fused_attention_model_path():
     got = np.asarray(fused_mod.apply(v, x, infer=True))
     scale = np.abs(ref).max() + 1e-9
     assert np.abs(got - ref).max() / scale < 2e-5
+
+
+def test_fused_resblocks_inject_matches_reference():
+    """Trio kernel with the folded f0-source injection conv (interpret) vs
+    the XLA reference, for strided and kernel-1 source convs; gradients via
+    the custom VJP."""
+    from ddsp_svc_tpu.ops.pallas_kernels import (
+        fused_resblocks_inject_pallas, resblocks_inject_reference,
+    )
+
+    rng = np.random.default_rng(30)
+    ks, dils = (3, 7, 11), (1, 3, 5)
+    for c, t, s_src, ksrc in ((16, 640, 4, 8), (16, 512, 1, 1)):
+        x_up = jnp.asarray(rng.standard_normal((2, t, c)).astype(np.float32))
+        har = jnp.asarray(
+            (rng.standard_normal((2, t * s_src, 1)) * 0.1).astype(np.float32)
+        )
+        nc_k = jnp.asarray(
+            (rng.standard_normal((ksrc, 1, c)) * 0.2).astype(np.float32)
+        )
+        nc_b = jnp.asarray(
+            (rng.standard_normal(c) * 0.05).astype(np.float32)
+        )
+        ws, bs = _trio_params(rng, ks, dils, c)
+        ref = resblocks_inject_reference(
+            x_up, har, nc_k, nc_b, ws, bs, ks, dils, s_src
+        )
+        got = fused_resblocks_inject_pallas(
+            x_up, har, nc_k, nc_b, *ws, *bs, s_src,
+            kernel_sizes=ks, dilations=dils, tile=256,
+            mxu_bf16=False, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
+        )
+
+    g_k = jax.grad(
+        lambda h: jnp.sum(fused_resblocks_inject_pallas(
+            x_up, h, nc_k, nc_b, *ws, *bs, 1,
+            kernel_sizes=ks, dilations=dils, tile=256,
+            mxu_bf16=False, interpret=True,
+        ) ** 2)
+    )(har)
+    g_r = jax.grad(
+        lambda h: jnp.sum(resblocks_inject_reference(
+            x_up, h, nc_k, nc_b, ws, bs, ks, dils, 1
+        ) ** 2)
+    )(har)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r),
+                               atol=1e-3, rtol=1e-3)
