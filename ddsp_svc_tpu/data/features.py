@@ -327,8 +327,6 @@ class UnitsEncoder:
             self.variables = self.model.init(
                 jax.random.key(0), jnp.zeros((1, 1600))
             )
-        self._apply = jax.jit(self.model.apply)
-
         def _encode(variables, audio, sample_rate, n_frames, ratio):
             if sample_rate != self.encoder_sample_rate:
                 audio = resample(audio, sample_rate, self.encoder_sample_rate)

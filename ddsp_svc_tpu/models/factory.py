@@ -28,6 +28,10 @@ def build_model(args: DotDict) -> nn.Module:
             n_spk=args.model.n_spk,
             causal=bool(args.model.c),
             bf16=bool(args.model.bf16),
+            fused_attention=(
+                True if args.model.fused_attention is None
+                else args.model.fused_attention
+            ),
         )
     if mtype == "CombSub":
         return CombSub(
@@ -40,6 +44,10 @@ def build_model(args: DotDict) -> nn.Module:
             n_spk=args.model.n_spk,
             causal=bool(args.model.c),
             bf16=bool(args.model.bf16),
+            fused_attention=(
+                True if args.model.fused_attention is None
+                else args.model.fused_attention
+            ),
         )
     if mtype == "CombSubFast":
         return CombSubFast(
@@ -50,10 +58,14 @@ def build_model(args: DotDict) -> nn.Module:
             causal=bool(args.model.c),
             frame_norm=bool(args.model.frame_norm),
             bf16=bool(args.model.bf16),
-            # fused Pallas spectral chain (TPU): on unless explicitly disabled
+            # fused Pallas kernels (TPU): on unless explicitly disabled
             fused_spectral=(
                 True if args.model.fused_spectral is None
                 else args.model.fused_spectral
+            ),
+            fused_attention=(
+                True if args.model.fused_attention is None
+                else args.model.fused_attention
             ),
         )
     raise ValueError(f" [x] Unknown Model: {mtype}")

@@ -246,6 +246,12 @@ class SelfAttention(nn.Module):
             return False
         if t % 128 != 0 or self.dim_head % 8 != 0:
             return False
+        # the kernel holds a whole (H, d, T) row plus per-head (m_pad, T)
+        # intermediates in VMEM (~14 KB x T at the 8-head/64-dim PCmer):
+        # long offline segments (power-of-two buckets beyond 512 frames)
+        # would exceed ~16 MB VMEM, so they fall back to the XLA path
+        if t > 512:
+            return False
         if self.fused_attention == "force":
             return True
         return jax.default_backend() not in ("cpu", "gpu")

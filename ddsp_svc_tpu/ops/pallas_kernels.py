@@ -432,9 +432,6 @@ ltv_fir_convolve_pallas.defvjp(_ltv_conv_vjp_fwd, _ltv_conv_vjp_bwd)
 # live set small. Inference-path only (the PCmer plumbs `infer`); training
 # keeps the XLA formulation and its full-precision gradients.
 
-_PA_HEADS = 8  # heads per program (one batch row of the 8-head PCmer)
-
-
 def _performer_attn_kernel(q_ref, k_ref, v_ref, proj_ref, out_ref, *,
                            n_heads: int, m_real: int, eps: float,
                            stab_eps: float, mxu_bf16: bool):

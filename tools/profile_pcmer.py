@@ -33,7 +33,8 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--frames", type=int, default=512)
     p.add_argument("--iters", type=int, default=6)
-    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+               default=True)
     args = p.parse_args()
 
     import jax
@@ -73,8 +74,8 @@ def main():
                 lambda i: (q * (1 + 1e-3 * i),), args.iters)
     report("favor_features(q)", tf_)
 
-    qf = softmax_kernel(q, proj, True)
-    kf = softmax_kernel(q, proj, False)
+    qf = jax.jit(lambda qq: softmax_kernel(qq, proj, True))(q)
+    kf = jax.jit(lambda qq: softmax_kernel(qq, proj, False))(q)
     v = q
     tl = timed(linear_attention, lambda i: (qf * (1 + 1e-3 * i), kf, v),
                args.iters)

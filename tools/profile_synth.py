@@ -37,7 +37,8 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--frames", type=int, default=512)
     p.add_argument("--iters", type=int, default=6)
-    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+               default=True)
     args = p.parse_args()
 
     import jax
@@ -99,7 +100,7 @@ def main():
     report("phase+combtooth", t)
 
     # framing + window (both excitations)
-    tooth = excite(f0)
+    tooth = jax.jit(excite)(f0)  # never eager on the TPU (CLAUDE.md)
     window = sqrt_hann_window(2 * bs, dtype=jnp.float32)
 
     def framing(tth, nse):
