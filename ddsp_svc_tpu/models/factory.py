@@ -142,11 +142,26 @@ def make_jitted_synth(model, variables, spk_mix_dict=None, min_frames: int = 32,
 
 def load_model(model_path: str) -> Tuple[nn.Module, dict, DotDict]:
     """Load (module, variables, args) from a checkpoint; reads the sibling
-    config.yaml as the reference does (vocoder.py:343-345)."""
-    from ..train.checkpoint import restore_variables
+    config.yaml as the reference does (vocoder.py:343-345).
+
+    Accepts either this framework's flax msgpack `.ckpt` or a reference
+    torch `.pt` (as written by /root/reference/logger/saver.py:83-87) —
+    the latter is converted on the fly (utils/convert.py), matching the
+    reference's `load_model(ckpt['model'])` entry point directly.
+    """
+    import jax.numpy as jnp
+    import jax
 
     config_file = os.path.join(os.path.dirname(model_path), "config.yaml")
     args = load_config(config_file)
     model = build_model(args)
-    variables = restore_variables(model_path)
+    if model_path.endswith(".pt"):
+        from ..utils.convert import load_reference_torch_checkpoint
+
+        _, variables = load_reference_torch_checkpoint(model_path)
+        variables = jax.tree.map(jnp.asarray, variables)
+    else:
+        from ..train.checkpoint import restore_variables
+
+        variables = restore_variables(model_path)
     return model, variables, args

@@ -112,6 +112,76 @@ def convert_synth_state_dict(sd: Mapping, num_layers: int = 3) -> Dict:
     }
 
 
+def detect_unit2control_num_layers(sd: Mapping, prefix: str = "unit2ctrl.") -> int:
+    """Count PCmer decoder layers present in a reference state dict
+    (keys `unit2ctrl.dec_post.0.net.{i}.`, /root/reference/ddsp/pcmer.py:11-18)."""
+    n = 0
+    while f"{prefix}dec_post.0.net.{n}.norm.weight" in sd:
+        n += 1
+    if n == 0:
+        raise KeyError(
+            f"no '{prefix}dec_post.0.net.*' keys — not a reference DDSP "
+            "synthesizer state dict"
+        )
+    return n
+
+
+def load_reference_torch_checkpoint(pt_path: str):
+    """Read a reference-format torch checkpoint from disk
+    (`{'global_step', 'model', 'optimizer'}` as written by
+    /root/reference/logger/saver.py:83-87, or a bare state dict) and convert
+    the synthesizer weights to flax variables.
+
+    Returns (step, variables). Requires torch (CPU is fine).
+    """
+    import torch
+
+    try:
+        ckpt = torch.load(pt_path, map_location="cpu", weights_only=True)
+    except Exception:
+        ckpt = torch.load(pt_path, map_location="cpu", weights_only=False)
+    step = 0
+    sd = ckpt
+    if isinstance(ckpt, Mapping) and "model" in ckpt:
+        sd = ckpt["model"]
+        step = int(ckpt.get("global_step", 0) or 0)
+    num_layers = detect_unit2control_num_layers(sd)
+    variables = convert_synth_state_dict(sd, num_layers=num_layers)
+    return step, variables
+
+
+def convert_reference_checkpoint(pt_path: str, out_dir: str) -> str:
+    """One-command reference->TPU checkpoint migration.
+
+    Takes a reference `model_{step}.pt` (sibling config.yaml required, as the
+    reference's own loader assumes — vocoder.py:343-345), writes
+    `out_dir/model_{step}.ckpt` (flax msgpack) plus a copy of config.yaml, so
+    the result is directly loadable by models.factory.load_model and usable
+    with the offline CLI (`main.py -m out_dir/model_{step}.ckpt`).
+
+    Returns the written checkpoint path.
+    """
+    import os
+    import shutil
+
+    from ..train.checkpoint import save_checkpoint
+
+    config_file = os.path.join(os.path.dirname(os.path.abspath(pt_path)), "config.yaml")
+    if not os.path.isfile(config_file):
+        raise FileNotFoundError(
+            f"expected sibling config.yaml next to {pt_path} "
+            "(reference checkpoint layout, vocoder.py:343-345)"
+        )
+    step, variables = load_reference_torch_checkpoint(pt_path)
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, f"model_{step}.ckpt")
+    save_checkpoint(out_path, step, variables)
+    out_config = os.path.join(out_dir, "config.yaml")
+    if os.path.abspath(out_config) != os.path.abspath(config_file):
+        shutil.copyfile(config_file, out_config)
+    return out_path
+
+
 def convert_hubert_state_dict(sd: Mapping, num_layers: int = 12) -> Dict:
     """bshall HuBERT-soft torch checkpoint -> flax params for nn.hubert.
 
