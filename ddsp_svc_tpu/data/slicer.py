@@ -48,106 +48,96 @@ class Slicer:
         self.min_interval = round(min_interval_samp / self.hop_size)
         self.max_sil_kept = round(sr * max_sil_kept / 1000 / self.hop_size)
 
+    @staticmethod
+    def _quietest(rms: np.ndarray, lo: int, hi: int) -> int:
+        """Quietest frame of rms[lo..hi] (inclusive; clipped at the end)."""
+        return lo + int(rms[lo: hi + 1].argmin())
+
+    def _cut_points(self, rms: np.ndarray, run_start: int, run_end: int,
+                    keep: int) -> Tuple[Tuple[int, int], int]:
+        """Cut tag (frame range to discard) for one silence run, plus the
+        start of the next voiced clip.
+
+        A run of `dur` quiet frames keeps at most `keep` frames of silence on
+        each side of the cut; the cut points are the quietest frames of the
+        allowed windows (three regimes: whole run removable, windows
+        overlapping, windows disjoint).
+        """
+        def quietest(lo: int, hi: int) -> int:
+            return self._quietest(rms, lo, hi)
+
+        dur = run_end - run_start
+        leading = run_start == 0
+        if dur <= keep:
+            cut = quietest(run_start, run_end)
+            tag = (0, cut) if leading else (cut, cut)
+            return tag, cut
+        left = quietest(run_start, run_start + keep)
+        right = quietest(run_end - keep, run_end)
+        if leading:
+            return (0, right), right
+        if dur <= 2 * keep:  # windows overlap: also consider their overlap
+            mid = quietest(run_end - keep, run_start + keep)
+            return (min(left, mid), max(right, mid)), max(right, mid)
+        return (left, right), right
+
+    def _detect_cuts(self, rms: np.ndarray) -> List[Tuple[int, int]]:
+        """Silence runs -> cut tags [(start_frame, end_frame)] to remove."""
+        total = len(rms)
+        quiet = rms < self.threshold
+        edges = np.diff(np.concatenate(([False], quiet, [False])).astype(np.int8))
+        run_starts = np.flatnonzero(edges == 1)
+        run_ends = np.flatnonzero(edges == -1)  # exclusive: first loud frame
+
+        tags: List[Tuple[int, int]] = []
+        clip_start = 0
+        for s, e in zip(run_starts, run_ends):
+            if e >= total:
+                # trailing silence: cut to the end if long enough
+                if total - s >= self.min_interval:
+                    end = min(total, s + self.max_sil_kept)
+                    tags.append((self._quietest(rms, s, end), total + 1))
+                break
+            long_leading = s == 0 and e > self.max_sil_kept
+            splittable = (
+                e - s >= self.min_interval
+                and e - clip_start >= self.min_length
+            )
+            if not (long_leading or splittable):
+                continue
+            tag, clip_start = self._cut_points(rms, s, e, self.max_sil_kept)
+            tags.append(tag)
+        return tags
+
     def slice(self, waveform: np.ndarray) -> Dict[str, dict]:
         samples = waveform.mean(axis=0) if waveform.ndim > 1 else waveform
+        # (reference quirk kept: min_length is in frames but compared against
+        # the sample count — only ultra-short inputs take this early return)
         if samples.shape[0] <= self.min_length:
             return {"0": {"slice": False, "split_time": f"0,{len(waveform)}"}}
-        rms_list = frame_rms(samples, self.win_size, self.hop_size)
-
-        sil_tags: List[Tuple[int, int]] = []
-        silence_start = None
-        clip_start = 0
-        for i, rms in enumerate(rms_list):
-            if rms < self.threshold:
-                if silence_start is None:
-                    silence_start = i
-                continue
-            if silence_start is None:
-                continue
-            is_leading_silence = silence_start == 0 and i > self.max_sil_kept
-            need_slice_middle = (
-                i - silence_start >= self.min_interval
-                and i - clip_start >= self.min_length
-            )
-            if not is_leading_silence and not need_slice_middle:
-                silence_start = None
-                continue
-            if i - silence_start <= self.max_sil_kept:
-                pos = int(rms_list[silence_start : i + 1].argmin()) + silence_start
-                if silence_start == 0:
-                    sil_tags.append((0, pos))
-                else:
-                    sil_tags.append((pos, pos))
-                clip_start = pos
-            elif i - silence_start <= self.max_sil_kept * 2:
-                pos = int(
-                    rms_list[i - self.max_sil_kept : silence_start + self.max_sil_kept + 1].argmin()
-                )
-                pos += i - self.max_sil_kept
-                pos_l = (
-                    int(rms_list[silence_start : silence_start + self.max_sil_kept + 1].argmin())
-                    + silence_start
-                )
-                pos_r = (
-                    int(rms_list[i - self.max_sil_kept : i + 1].argmin())
-                    + i - self.max_sil_kept
-                )
-                if silence_start == 0:
-                    sil_tags.append((0, pos_r))
-                    clip_start = pos_r
-                else:
-                    sil_tags.append((min(pos_l, pos), max(pos_r, pos)))
-                    clip_start = max(pos_r, pos)
-            else:
-                pos_l = (
-                    int(rms_list[silence_start : silence_start + self.max_sil_kept + 1].argmin())
-                    + silence_start
-                )
-                pos_r = (
-                    int(rms_list[i - self.max_sil_kept : i + 1].argmin())
-                    + i - self.max_sil_kept
-                )
-                if silence_start == 0:
-                    sil_tags.append((0, pos_r))
-                else:
-                    sil_tags.append((pos_l, pos_r))
-                clip_start = pos_r
-            silence_start = None
-
-        total_frames = rms_list.shape[0]
-        if (
-            silence_start is not None
-            and total_frames - silence_start >= self.min_interval
-        ):
-            silence_end = min(total_frames, silence_start + self.max_sil_kept)
-            pos = int(rms_list[silence_start : silence_end + 1].argmin()) + silence_start
-            sil_tags.append((pos, total_frames + 1))
-
-        if len(sil_tags) == 0:
+        rms = frame_rms(samples, self.win_size, self.hop_size)
+        cuts = self._detect_cuts(rms)
+        if not cuts:
             return {"0": {"slice": False, "split_time": f"0,{len(waveform)}"}}
-        chunks = []
-        if sil_tags[0][0]:
-            chunks.append(
-                {"slice": False,
-                 "split_time": f"0,{min(waveform.shape[0], sil_tags[0][0] * self.hop_size)}"}
-            )
-        for i in range(len(sil_tags)):
-            if i:
-                chunks.append(
-                    {"slice": False,
-                     "split_time": f"{sil_tags[i - 1][1] * self.hop_size},"
-                                   f"{min(waveform.shape[0], sil_tags[i][0] * self.hop_size)}"}
-                )
-            chunks.append(
-                {"slice": True,
-                 "split_time": f"{sil_tags[i][0] * self.hop_size},"
-                               f"{min(waveform.shape[0], sil_tags[i][1] * self.hop_size)}"}
-            )
-        if sil_tags[-1][1] * self.hop_size < len(waveform):
-            chunks.append(
-                {"slice": False,
-                 "split_time": f"{sil_tags[-1][1] * self.hop_size},{len(waveform)}"}
-            )
+
+        # assemble alternating voiced / silence chunks in sample space;
+        # chunk ends are clipped to the waveform, starts are not (reference
+        # contract: consumers compare start==end to drop empty chunks)
+        t_end = len(waveform)
+        hop = self.hop_size
+        chunks: List[dict] = []
+
+        def emit(is_silence: bool, a: int, b: int) -> None:
+            chunks.append({"slice": is_silence, "split_time": f"{a},{b}"})
+
+        if cuts[0][0] > 0:
+            emit(False, 0, min(t_end, cuts[0][0] * hop))
+        for j, (a, b) in enumerate(cuts):
+            if j:
+                emit(False, cuts[j - 1][1] * hop, min(t_end, a * hop))
+            emit(True, a * hop, min(t_end, b * hop))
+        if cuts[-1][1] * hop < t_end:
+            emit(False, cuts[-1][1] * hop, t_end)
         return {str(i): c for i, c in enumerate(chunks)}
 
 

@@ -95,7 +95,12 @@ def run_inference(
     cache_dir: Optional[str] = None,
     compat_double_key: bool = False,
     seed: int = 0,
+    noise_hook=None,
+    output_subtype: str = "PCM_16",
 ) -> str:
+    """noise_hook(segment_index, (b, t_samples)) -> np.ndarray: optionally
+    injects the exact uniform(-1,1) excitation per segment (used by the
+    full-pipeline A/B harness to align randomness with the reference)."""
     model, variables, args = load_model(model_path)
 
     audio, sr_i = load_audio(input_path, sr=sampling_rate, mono=True)
@@ -119,9 +124,14 @@ def run_inference(
         np.save(cache_file, f0, allow_pickle=False)
     f0 = f0[None, :, None].astype(np.float32)
 
-    # key change — once (twice only in reference-compat mode)
-    shift = 2.0 ** (float(key) / 12)
-    f0 = f0 * (shift * shift if compat_double_key else shift)
+    # key change — once (twice only in reference-compat mode). The compat
+    # path multiplies sequentially, as main.py:105+120 does: one fused
+    # f0*(shift^2) differs by an ulp, which integrates into audible phase
+    # drift over a segment.
+    shift = np.float32(2.0 ** (float(key) / 12))
+    f0 = f0 * shift
+    if compat_double_key:
+        f0 = f0 * shift
 
     volume = VolumeExtractor(hop_size).extract(audio)[None, :]
     mask = response_mask(volume[0], threshold_db, args.data.block_size)
@@ -151,7 +161,9 @@ def run_inference(
 
     from ..models.factory import make_jitted_synth
 
-    synth = make_jitted_synth(model, variables, spk_mix_dict=spk_mix_dict)
+    synth = make_jitted_synth(
+        model, variables, spk_mix_dict=spk_mix_dict, mask_padding=True
+    )
     segments = split(audio, sr_i, hop_size)
     print(f"Cut the input audio into {len(segments)} slices")
     result = np.zeros(0)
@@ -164,7 +176,14 @@ def run_inference(
         seg_f0 = f0[:, start_frame: start_frame + n_f, :]
         seg_volume = volume[:, start_frame: start_frame + n_f]
         seg_rng = jax.random.fold_in(rng, i)
-        seg_out = synth(seg_units, seg_f0, seg_volume, spk_id_arr, seg_rng)
+        seg_noise = None
+        if noise_hook is not None:
+            seg_noise = np.asarray(
+                noise_hook(i, (1, n_f * args.data.block_size)),
+                dtype=np.float32,
+            )
+        seg_out = synth(seg_units, seg_f0, seg_volume, spk_id_arr, seg_rng,
+                        noise=seg_noise)
         bs = args.data.block_size
         seg_out = seg_out * mask[:, start_frame * bs: (start_frame + n_f) * bs]
 
@@ -186,5 +205,6 @@ def run_inference(
             result = cross_fade(result, seg_out, current_length + silent_length)
         current_length = current_length + silent_length + len(seg_out)
 
-    write_wav(output_path, result.astype(np.float32), int(sr_o))
+    write_wav(output_path, result.astype(np.float32), int(sr_o),
+              subtype=output_subtype)
     return output_path

@@ -72,20 +72,31 @@ def build_model(args: DotDict) -> nn.Module:
 
 
 def make_jitted_synth(model, variables, spk_mix_dict=None, min_frames: int = 32,
-                      mesh=None, mesh_axis: str = "data"):
+                      mesh=None, mesh_axis: str = "data",
+                      mask_padding: bool = False):
     """Jitted, shape-bucketed synthesizer forward for inference pipelines.
 
     Variable-length segments are padded to the next power-of-two frame count
     (>= min_frames) so repeated calls hit the XLA compile cache — essential
     on remote-compile backends where eager dispatch is pathologically slow.
 
+    mask_padding: thread the segment's true length into the model as a
+    traced `valid_frames` scalar, so a bucket-padded forward is *numerically
+    identical* to an exact-length forward (masked GroupNorm stats, masked
+    attention key sums, masked conv inputs, edge-replicated control tail,
+    zeroed excitations). Shape-aligned calls (pad == 0) skip the masking
+    program entirely. Required for output parity with the reference's
+    main.py, which runs every segment at its exact length.
+
     mesh: optional jax.sharding.Mesh — shard the *time axis* over
     `mesh_axis` (parallel/timeparallel.py), so one utterance's synthesis
     spreads across chips (multi-chip streaming/offline inference). The mesh
     axis size must be a power of two (bucket sizes are powers of two).
 
-    Returns fn(units (1,F,C), f0 (1,F,1), volume (1,F), spk_id (1,1), rng)
-    -> signal (1, F*block) numpy.
+    Returns fn(units (1,F,C), f0 (1,F,1), volume (1,F), spk_id (1,1), rng,
+    noise=None) -> signal (1, F*block) numpy. `noise` optionally injects the
+    exact uniform(-1,1) excitation (parity harnesses); otherwise it is drawn
+    from `rng`.
     """
     import numpy as np
     import jax
@@ -94,6 +105,10 @@ def make_jitted_synth(model, variables, spk_mix_dict=None, min_frames: int = 32,
     block = int(model.block_size)
 
     if mesh is not None:
+        if mask_padding:
+            raise NotImplementedError(
+                "mask_padding is not supported on the time-parallel path"
+            )
         from ..parallel.timeparallel import make_time_parallel_forward
 
         axis_size = mesh.shape[mesh_axis]
@@ -114,16 +129,53 @@ def make_jitted_synth(model, variables, spk_mix_dict=None, min_frames: int = 32,
                 minval=-1.0, maxval=1.0,
             )
             return tp_forward(units, f0, volume, spk_id, noise)
-    else:
-        @jax.jit
-        def fwd(units, f0, volume, spk_id, rng):
-            signal, _, _ = model.apply(
-                variables, units, f0, volume, spk_id,
-                spk_mix_dict=spk_mix_dict, infer=True, rngs={"noise": rng},
-            )
-            return signal
 
-    def run(units, f0, volume, spk_id, rng):
+        def run(units, f0, volume, spk_id, rng, noise=None):
+            if noise is not None:
+                raise NotImplementedError(
+                    "explicit noise injection is not supported on the "
+                    "time-parallel path"
+                )
+            n = units.shape[1]
+            bucket = max(min_frames, 1 << (int(n) - 1).bit_length())
+            pad = bucket - n
+            if pad:
+                units = np.pad(units, ((0, 0), (0, pad), (0, 0)))
+                f0 = np.pad(f0, ((0, 0), (0, pad), (0, 0)), mode="edge")
+                volume = np.pad(volume, ((0, 0), (0, pad)))
+            out = fwd(
+                jnp.asarray(units), jnp.asarray(f0), jnp.asarray(volume),
+                jnp.asarray(spk_id), rng,
+            )
+            return np.asarray(out)[:, : n * block]
+
+        return run
+
+    def apply(units, f0, volume, spk_id, valid, **noise_kw):
+        signal, _, _ = model.apply(
+            variables, units, f0, volume, spk_id,
+            spk_mix_dict=spk_mix_dict, infer=True, valid_frames=valid,
+            **noise_kw,
+        )
+        return signal
+
+    @jax.jit
+    def fwd_rng(units, f0, volume, spk_id, rng):
+        return apply(units, f0, volume, spk_id, None, rngs={"noise": rng})
+
+    @jax.jit
+    def fwd_rng_masked(units, f0, volume, spk_id, rng, valid):
+        return apply(units, f0, volume, spk_id, valid, rngs={"noise": rng})
+
+    @jax.jit
+    def fwd_noise(units, f0, volume, spk_id, noise):
+        return apply(units, f0, volume, spk_id, None, noise=noise)
+
+    @jax.jit
+    def fwd_noise_masked(units, f0, volume, spk_id, noise, valid):
+        return apply(units, f0, volume, spk_id, valid, noise=noise)
+
+    def run(units, f0, volume, spk_id, rng, noise=None):
         n = units.shape[1]
         bucket = max(min_frames, 1 << (int(n) - 1).bit_length())
         pad = bucket - n
@@ -131,10 +183,20 @@ def make_jitted_synth(model, variables, spk_mix_dict=None, min_frames: int = 32,
             units = np.pad(units, ((0, 0), (0, pad), (0, 0)))
             f0 = np.pad(f0, ((0, 0), (0, pad), (0, 0)), mode="edge")
             volume = np.pad(volume, ((0, 0), (0, pad)))
-        out = fwd(
+            if noise is not None:
+                noise = np.pad(noise, ((0, 0), (0, pad * block)))
+        args = (
             jnp.asarray(units), jnp.asarray(f0), jnp.asarray(volume),
-            jnp.asarray(spk_id), rng,
+            jnp.asarray(spk_id),
         )
+        excite = rng if noise is None else jnp.asarray(noise)
+        if pad and mask_padding:
+            valid = jnp.asarray(n, dtype=jnp.int32)
+            f = fwd_rng_masked if noise is None else fwd_noise_masked
+            out = f(*args, excite, valid)
+        else:
+            f = fwd_rng if noise is None else fwd_noise
+            out = f(*args, excite)
         return np.asarray(out)[:, : n * block]
 
     return run

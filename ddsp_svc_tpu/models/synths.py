@@ -82,6 +82,7 @@ class Sins(nn.Module):
         infer: bool = True,
         max_upsample_dim: int = 32,
         noise: Optional[jnp.ndarray] = None,
+        valid_frames=None,
     ) -> Output:
         f0 = upsample_frames(f0_frames, self.block_size)[..., 0]  # (B, T)
         # closed-form frame-rate accumulator: == f0_to_rot(f0, precise=True)
@@ -94,7 +95,7 @@ class Sins(nn.Module):
 
         ctrls = self.unit2ctrl(
             units_frames, f0_frames, phase_frames, volume_frames, spk_id,
-            spk_mix_dict=spk_mix_dict, infer=infer,
+            spk_mix_dict=spk_mix_dict, infer=infer, valid_frames=valid_frames,
         )
         amplitudes_frames = jnp.exp(ctrls["amplitudes"]) / 128.0
         group_delay = np.pi * jnp.tanh(ctrls["group_delay"])
@@ -109,6 +110,11 @@ class Sins(nn.Module):
             phase, amplitudes_frames, self.block_size,
             harmonic_chunk=max_upsample_dim,
         )
+        if valid_frames is not None:
+            smask = (
+                jnp.arange(sinusoids.shape[-1]) < valid_frames * self.block_size
+            ).astype(sinusoids.dtype)[None, :]
+            sinusoids = sinusoids * smask
 
         # harmonic all-pass (predicted group delay)
         harmonic = frequency_filter(
@@ -122,6 +128,8 @@ class Sins(nn.Module):
                 jax.random.uniform(self.make_rng("noise"), harmonic.shape,
                                    dtype=harmonic.dtype) * 2.0 - 1.0
             )
+        if valid_frames is not None:
+            noise = noise * smask
         noise = frequency_filter(
             noise, noise_param + 0j, hann_windowed=True
         )
@@ -179,6 +187,7 @@ class CombSubFast(nn.Module):
         initial_phase: Optional[jnp.ndarray] = None,
         infer: bool = True,
         noise: Optional[jnp.ndarray] = None,
+        valid_frames=None,
         **kwargs,
     ) -> Output:
         bs = self.block_size
@@ -190,7 +199,7 @@ class CombSubFast(nn.Module):
 
         ctrls = self.unit2ctrl(
             units_frames, f0_frames, phase_frames, volume_frames, spk_id,
-            spk_mix_dict=spk_mix_dict, infer=infer,
+            spk_mix_dict=spk_mix_dict, infer=infer, valid_frames=valid_frames,
         )
         harmo_mag = ctrls["harmonic_magnitude"]
         harmo_phase = ctrls["harmonic_phase"]
@@ -203,6 +212,14 @@ class CombSubFast(nn.Module):
                 jax.random.uniform(self.make_rng("noise"), tooth.shape,
                                    dtype=tooth.dtype) * 2.0 - 1.0
             )
+        if valid_frames is not None:
+            # zero excitations beyond the true length: the first padded
+            # frame then windows [tail audio, zeros] with the replicated
+            # last filter — exactly the reference's own tail frame
+            smask = (jnp.arange(tooth.shape[-1]) < valid_frames * bs).astype(
+                tooth.dtype)[None, :]
+            tooth = tooth * smask
+            noise = noise * smask
 
         window = sqrt_hann_window(2 * bs, dtype=tooth.dtype)
         tooth_frames = (
@@ -297,6 +314,7 @@ class CombSub(nn.Module):
         initial_phase: Optional[jnp.ndarray] = None,
         infer: bool = True,
         noise: Optional[jnp.ndarray] = None,
+        valid_frames=None,
         **kwargs,
     ) -> Output:
         bs = self.block_size
@@ -308,18 +326,28 @@ class CombSub(nn.Module):
 
         ctrls = self.unit2ctrl(
             units_frames, f0_frames, phase_frames, volume_frames, spk_id,
-            spk_mix_dict=spk_mix_dict, infer=infer,
+            spk_mix_dict=spk_mix_dict, infer=infer, valid_frames=valid_frames,
         )
         group_delay = np.pi * jnp.tanh(ctrls["group_delay"])
         src_param = jnp.exp(ctrls["harmonic_magnitude"])
         noise_param = jnp.exp(ctrls["noise_magnitude"]) / 128.0
 
         tooth = combtooth_op(rot, f0, self.sampling_rate, zero_unvoiced=False)
+        smask = None
+        if valid_frames is not None:
+            smask = (jnp.arange(tooth.shape[-1]) < valid_frames * bs).astype(
+                tooth.dtype)[None, :]
+            tooth = tooth * smask
         harmonic = frequency_filter(
             tooth,
             jnp.exp(1j * jnp.cumsum(group_delay, axis=-1)),
             hann_windowed=False,
         )
+        if smask is not None:
+            # the all-pass spills ir_size//2 samples past the true length;
+            # an exact-length run crops them, so zero them before the
+            # cascaded magnitude filter
+            harmonic = harmonic * smask
         harmonic = frequency_filter(
             harmonic,
             src_param + 0j,
@@ -332,6 +360,8 @@ class CombSub(nn.Module):
                 jax.random.uniform(self.make_rng("noise"), harmonic.shape,
                                    dtype=harmonic.dtype) * 2.0 - 1.0
             )
+        if smask is not None:
+            noise = noise * smask
         noise = frequency_filter(noise, noise_param + 0j, hann_windowed=True)
 
         signal = harmonic + noise

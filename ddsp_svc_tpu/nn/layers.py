@@ -48,20 +48,30 @@ class Conv1d(nn.Module):
 
 class GroupNorm(nn.Module):
     """torch.nn.GroupNorm parity on (B, T, C): normalize per channel group
-    over (T, C//G), affine per channel. eps=1e-5."""
+    over (T, C//G), affine per channel. eps=1e-5.
+
+    `valid_frames` (traced scalar) restricts the statistics to the first N
+    frames — bucket-padded inference then computes exactly the stats the
+    reference computes at the segment's true length."""
 
     num_groups: int
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, valid_frames=None) -> jnp.ndarray:
         b, t, c = x.shape
         g = self.num_groups
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         xg = x.reshape(b, t, g, c // g)
-        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-        var = jnp.mean((xg - mean) ** 2, axis=(1, 3), keepdims=True)
+        if valid_frames is None:
+            mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+            var = jnp.mean((xg - mean) ** 2, axis=(1, 3), keepdims=True)
+        else:
+            m = (jnp.arange(t) < valid_frames).astype(x.dtype)[None, :, None, None]
+            denom = valid_frames.astype(x.dtype) * (c // g)
+            mean = jnp.sum(xg * m, axis=(1, 3), keepdims=True) / denom
+            var = jnp.sum(((xg - mean) * m) ** 2, axis=(1, 3), keepdims=True) / denom
         xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
         return xg.reshape(b, t, c) * scale + bias
 
@@ -79,7 +89,8 @@ class FrameGroupNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, valid_frames=None) -> jnp.ndarray:
+        # frame-local stats: padding can't leak, valid_frames is a no-op
         b, t, c = x.shape
         g = self.num_groups
         scale = self.param("scale", nn.initializers.ones, (c,))

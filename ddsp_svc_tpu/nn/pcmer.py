@@ -196,7 +196,12 @@ class SelfAttention(nn.Module):
     fused_attention: object = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, infer: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, infer: bool = False,
+                 valid_frames=None) -> jnp.ndarray:
+        """valid_frames (traced scalar): mask key features beyond the first
+        N frames so bucket-padded inference attends exactly as the reference
+        does at the segment's true length (pad keys contribute to neither the
+        numerator k'v sums nor the denominator k' sums)."""
         in_dtype = x.dtype
         inner = self.dim_head * self.heads
         nb_features = int(self.dim_head * math.log(self.dim_head))
@@ -221,7 +226,7 @@ class SelfAttention(nn.Module):
             return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
         q, k, v = map(split_heads, (q, k, v))
-        if self._use_fused(infer, q.shape[2]):
+        if self._use_fused(infer, q.shape[2]) and valid_frames is None:
             from ..ops.pallas_kernels import performer_attention_pallas
 
             out = performer_attention_pallas(
@@ -232,6 +237,9 @@ class SelfAttention(nn.Module):
         else:
             q = softmax_kernel(q, projection, is_query=True)
             k = softmax_kernel(k, projection, is_query=False)
+            if valid_frames is not None:
+                mask = (jnp.arange(k.shape[2]) < valid_frames).astype(k.dtype)
+                k = k * mask[None, None, :, None]
             if self.causal:
                 out = causal_linear_attention(q, k, v)
             else:
@@ -268,12 +276,17 @@ class ConformerConvModule(nn.Module):
     compute_dtype: object = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, valid_frames=None) -> jnp.ndarray:
         in_dtype = x.dtype
         inner = self.dim * self.expansion_factor
         x = nn.LayerNorm(epsilon=1e-5)(x)  # stats in fp32
         x = nn.Dense(inner * 2, dtype=self.compute_dtype)(x)
         x = glu(x, axis=-1)
+        if valid_frames is not None:
+            # zero pad frames so the depthwise conv sees exactly the zeros
+            # the reference's own boundary padding provides at true length
+            mask = (jnp.arange(x.shape[1]) < valid_frames).astype(x.dtype)
+            x = x * mask[None, :, None]
         x = Conv1d(
             inner, self.kernel_size, causal=self.causal, groups=inner,
             dtype=self.compute_dtype,
@@ -294,7 +307,8 @@ class PCmerLayer(nn.Module):
     fused_attention: object = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, infer: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, infer: bool = False,
+                 valid_frames=None) -> jnp.ndarray:
         x = x + SelfAttention(
             dim=self.dim,
             heads=self.heads,
@@ -303,11 +317,12 @@ class PCmerLayer(nn.Module):
             compute_dtype=self.compute_dtype,
             fused_attention=self.fused_attention,
             name="attn",
-        )(nn.LayerNorm(epsilon=1e-5, name="norm")(x), infer=infer)
+        )(nn.LayerNorm(epsilon=1e-5, name="norm")(x), infer=infer,
+          valid_frames=valid_frames)
         x = x + ConformerConvModule(
             dim=self.dim, causal=self.causal,
             compute_dtype=self.compute_dtype, name="conv"
-        )(x)
+        )(x, valid_frames=valid_frames)
         return x
 
 
@@ -322,7 +337,8 @@ class PCmer(nn.Module):
     fused_attention: object = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, infer: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, infer: bool = False,
+                 valid_frames=None) -> jnp.ndarray:
         for i in range(self.num_layers):
             x = PCmerLayer(
                 dim=self.dim_model,
@@ -332,5 +348,5 @@ class PCmer(nn.Module):
                 compute_dtype=self.compute_dtype,
                 fused_attention=self.fused_attention,
                 name=f"layer_{i}",
-            )(x, infer=infer)
+            )(x, infer=infer, valid_frames=valid_frames)
         return x

@@ -54,6 +54,7 @@ class Unit2Control(nn.Module):
         spk_id: Optional[jnp.ndarray] = None,
         spk_mix_dict: Optional[Dict[int, float]] = None,
         infer: bool = False,
+        valid_frames=None,
     ) -> Dict[str, jnp.ndarray]:
         """
         Args:
@@ -63,16 +64,29 @@ class Unit2Control(nn.Module):
             volume :: (B, Frame)       - frame RMS
             spk_id :: (B,)             - 1-based speaker index
             spk_mix_dict - {speaker_id: weight} static mixing dict
+            valid_frames - traced scalar: the true segment length when the
+                inputs are bucket-padded. Statistics/attention/convolutions
+                are masked so the first `valid_frames` outputs equal an
+                exact-length forward, and the padded tail is replaced by an
+                edge-replication of the last valid control frame (the shape
+                the reference's own "repeat last filter frame" tail expects).
         Returns:
             dict of (B, Frame, size) control series
         """
         d = self.ndim_feat
+        fmask = None
+        if valid_frames is not None:
+            fmask = (jnp.arange(units.shape[1]) < valid_frames).astype(
+                units.dtype)[None, :, None]
+            units = units * fmask
 
         # PreNet
         x = Conv1d(d, 3, causal=self.causal, name="prenet_conv0")(units)
         norm_cls = FrameGroupNorm if self.frame_norm else GroupNorm
-        x = norm_cls(4, name="prenet_gn")(x)
+        x = norm_cls(4, name="prenet_gn")(x, valid_frames=valid_frames)
         x = leaky_relu(x)
+        if fmask is not None:
+            x = x * fmask
         x = Conv1d(d, 3, causal=self.causal, name="prenet_conv1")(x)
 
         # Continuous embeddings
@@ -105,8 +119,12 @@ class Unit2Control(nn.Module):
             compute_dtype=self.compute_dtype,
             fused_attention=self.fused_attention,
             name="decoder",
-        )(x, infer=infer)
+        )(x, infer=infer, valid_frames=valid_frames)
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         ndim_out = sum(self.output_splits.values())
         e = WeightNormDense(ndim_out, name="dense_out")(x)
+        if valid_frames is not None:
+            # edge-replicate the last valid control frame over the pad tail
+            idx = jnp.minimum(jnp.arange(e.shape[1]), valid_frames - 1)
+            e = jnp.take(e, idx, axis=1)
         return split_to_dict(e, self.output_splits)

@@ -43,6 +43,31 @@ def _fast_two_sum(a, b):
     return s, err
 
 
+def _split(a):
+    """Dekker split (fp32: factor 2^12 + 1): a == hi + lo with hi, lo
+    representable in 12 bits of mantissa each — enables exact products."""
+    c = a * jnp.float32(4097.0)
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    """Dekker TwoProduct: p + err == a * b exactly (no FMA needed)."""
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _div_ds(hi, lo, d):
+    """Double-single (hi + lo) / scalar d -> double-single quotient."""
+    q1 = hi / d
+    p, pe = _two_prod(q1, jnp.full_like(q1, d))
+    q2 = ((hi - p) - pe + lo) / d
+    return _fast_two_sum(q1, q2)
+
+
 def _cumsum_mod1(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Prefix sum modulo 1 with wrapped partials (single fp32 precision)."""
 
@@ -52,7 +77,9 @@ def _cumsum_mod1(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return jax.lax.associative_scan(combine, _wrap(x), axis=axis)
 
 
-def _cumsum_mod1_compensated(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+def _cumsum_mod1_compensated(
+    x: jnp.ndarray, axis: int = -1, x_lo: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
     """Prefix sum modulo 1 in two-float compensated (double-single) arithmetic.
 
     Each partial is represented as hi + lo with |lo| <= ulp(hi)/2. The
@@ -60,9 +87,17 @@ def _cumsum_mod1_compensated(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     in [-1, 1] so subtracting round(hi) is a Sterbenz-exact operation), then
     renormalizes. Mod-1 addition stays associative, so associative_scan is
     valid; accuracy is ~2^-45 absolute on the wrapped value.
+
+    x_lo: optional low words when the inputs are themselves double-single
+    pairs (then the scan is exact w.r.t. the pairs' values — input rounding
+    no longer accumulates across steps).
     """
-    hi0 = _wrap(x)
-    lo0 = jnp.zeros_like(hi0)
+    if x_lo is None:
+        hi0 = _wrap(x)
+        lo0 = jnp.zeros_like(hi0)
+    else:
+        hi0 = _wrap(x)
+        lo0 = x_lo
 
     def combine(a, b):
         a_hi, a_lo = a
@@ -141,10 +176,25 @@ def f0_to_rot_upsampled(
     a = f0_frames
     nxt = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)  # last frame repeated
     slope = nxt - a
-    # inclusive per-frame totals, then EXCLUSIVE prefix via zero-prepend
-    s_f = (block * a + slope * ((block - 1) / 2.0)) / sr  # (B, F)
-    shifted = jnp.concatenate([jnp.zeros_like(s_f[:, :1]), s_f[:, :-1]], axis=1)
-    carry = _cumsum_mod1_compensated(shifted, axis=1)  # C_{f-1}, (B, F)
+    # inclusive per-frame totals as exact double-single pairs: a single fp32
+    # rounding per frame here would random-walk across the carry scan
+    # (~2e-6 rotations by frame 400 — audible phase drift vs the fp64
+    # reference); with error-free TwoProduct/TwoSum the totals are exact and
+    # only the scan's own ~2^-45 compensation floor remains.
+    t1_hi, t1_lo = _two_prod(jnp.full_like(a, float(block)), a)
+    sl_hi, sl_lo = _two_sum(nxt, -a)
+    half = jnp.float32((block - 1) / 2.0)
+    t2_hi, t2_lo = _two_prod(sl_hi, jnp.full_like(a, half))
+    t2_lo = t2_lo + sl_lo * half
+    s_hi, e1 = _two_sum(t1_hi, t2_hi)
+    s_lo = t1_lo + t2_lo + e1
+    s_hi, s_lo = _fast_two_sum(s_hi, s_lo)
+    s_hi, s_lo = _div_ds(s_hi, s_lo, jnp.float32(sr))  # (B, F) rotations
+    # EXCLUSIVE prefix via zero-prepend
+    zeros = jnp.zeros_like(s_hi[:, :1])
+    shifted_hi = jnp.concatenate([zeros, s_hi[:, :-1]], axis=1)
+    shifted_lo = jnp.concatenate([zeros, s_lo[:, :-1]], axis=1)
+    carry = _cumsum_mod1_compensated(shifted_hi, axis=1, x_lo=shifted_lo)
     s = jnp.arange(block, dtype=a.dtype)  # sample index within frame
     # inclusive within-frame prefix at sample s (torch cumsum includes t)
     tri = (s * (s + 1.0)) * (0.5 / block)

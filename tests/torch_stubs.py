@@ -46,6 +46,14 @@ def install_stubs():
                 if self.conv.bias is not None:
                     destination[prefix + "bias"] = self.conv.bias
 
+            def _load_from_state_dict(self, state_dict, prefix, *args, **kw):
+                # accept the flat names _save_to_state_dict produces
+                for name in ("weight", "bias"):
+                    if prefix + name in state_dict:
+                        state_dict[prefix + "conv." + name] = state_dict.pop(
+                            prefix + name)
+                super()._load_from_state_dict(state_dict, prefix, *args, **kw)
+
         class Transpose(tnn.Module):
             def __init__(self, d0, d1):
                 super().__init__()
@@ -89,3 +97,76 @@ def install_stubs():
         ta.transforms = tat
         sys.modules["torchaudio"] = ta
         sys.modules["torchaudio.transforms"] = tat
+
+
+def install_pipeline_stubs():
+    """Stubs that let the reference's *whole* offline pipeline (main.py)
+    execute: faithful `librosa` (load / to_mono / feature.rms — backed by
+    this repo's host wav/rms code, which is itself parity-tested) and
+    `soundfile` (write via the repo's wav codec, float32; the written floats
+    are also captured in `soundfile_written` for float-exact comparison)."""
+    install_stubs()
+
+    import numpy as np
+
+    from ddsp_svc_tpu.data.wavio import load_audio, write_wav
+    from ddsp_svc_tpu.data.slicer import frame_rms
+
+    librosa = sys.modules.get("librosa")
+    if librosa is None or not hasattr(librosa, "load"):
+        librosa = types.ModuleType("librosa")
+        feature = types.ModuleType("librosa.feature")
+
+        def load(path, sr=None, mono=True):
+            y, got_sr = load_audio(path, sr=sr, mono=mono)
+            return y.astype(np.float32), got_sr
+
+        def to_mono(y):
+            y = np.asarray(y)
+            return y.mean(axis=0) if y.ndim > 1 else y
+
+        def rms(y=None, frame_length=2048, hop_length=512, **_):
+            return frame_rms(np.asarray(y), frame_length, hop_length)[None, :]
+
+        librosa.load = load
+        librosa.to_mono = to_mono
+        feature.rms = rms
+        librosa.feature = feature
+
+        # submodules the reference's nsf_hifigan/nvSTFT.py imports
+        util = types.ModuleType("librosa.util")
+
+        def normalize(S, norm=np.inf, axis=0, **_):
+            mag = np.abs(S).max(axis=axis, keepdims=True)
+            return S / np.maximum(mag, np.finfo(np.float32).tiny)
+
+        util.normalize = normalize
+        filters = types.ModuleType("librosa.filters")
+
+        def mel_fn(sr=22050, n_fft=2048, n_mels=128, fmin=0.0, fmax=None, **_):
+            from ddsp_svc_tpu.ops.spectral import mel_filterbank
+
+            return np.asarray(mel_filterbank(
+                sr, n_fft, n_mels, fmin, fmax if fmax else sr / 2))
+
+        filters.mel = mel_fn
+        librosa.util = util
+        librosa.filters = filters
+        sys.modules["librosa"] = librosa
+        sys.modules["librosa.feature"] = feature
+        sys.modules["librosa.util"] = util
+        sys.modules["librosa.filters"] = filters
+
+    sf = sys.modules.get("soundfile")
+    if sf is None or not hasattr(sf, "write"):
+        sf = types.ModuleType("soundfile")
+        sf.soundfile_written = {}
+
+        def write(path, data, samplerate, **_):
+            arr = np.asarray(data, dtype=np.float32)
+            sf.soundfile_written[str(path)] = arr
+            write_wav(str(path), arr, int(samplerate), subtype="FLOAT")
+
+        sf.write = write
+        sys.modules["soundfile"] = sf
+    return sf
