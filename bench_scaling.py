@@ -21,6 +21,13 @@ def main():
                    help="force 8 virtual CPU devices (validation mode)")
     p.add_argument("--batch-per-device", type=int, default=4)
     p.add_argument("--iters", type=int, default=10)
+    # multi-host mode (the ≥2-host BASELINE measurement): launch this script
+    # once per host with the same --coordinator and distinct --process-id;
+    # efficiency is steps_per_s here vs a single-host run of the same config
+    p.add_argument("--coordinator", default="127.0.0.1:9911",
+                   help="host:port of process 0 (multi-process mode)")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
     args = p.parse_args()
 
     import os
@@ -38,9 +45,14 @@ def main():
 
     from ddsp_svc_tpu.models import CombSubFast, RSSLoss
     from ddsp_svc_tpu.parallel import make_mesh, shard_batch, shard_train_state
+    from ddsp_svc_tpu.parallel.mesh import init_distributed
     from ddsp_svc_tpu.train import (
         create_optimizer, create_train_state, make_train_step,
     )
+
+    if args.num_processes > 1:
+        init_distributed(args.coordinator, num_processes=args.num_processes,
+                         process_id=args.process_id)
 
     devices = jax.devices()
     n_dev = len(devices)
@@ -62,14 +74,32 @@ def main():
     rss = RSSLoss(256, 2048, n_scale=4, n_buckets=8)
     step = make_train_step(model, rss, optimizer)
 
-    sizes = sorted({1, 2, n_dev} & set(range(1, n_dev + 1)))
+    if args.num_processes > 1:
+        # whole-cluster measurement only; per-process data shards enter via
+        # make_array_from_callback (each host materializes only its rows)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sizes = [n_dev]
+
+        def to_global(x, sharding):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx])
+    else:
+        sizes = sorted({1, 2, n_dev} & set(range(1, n_dev + 1)))
     base = None
     for n in sizes:
         mesh = make_mesh(n_data=n, n_model=1, devices=devices[:n])
         batch = batch_for(n)
         state = create_train_state(model, optimizer, batch, jax.random.key(0))
-        state = shard_train_state(state, mesh)
-        sharded = shard_batch(batch, mesh)
+        if args.num_processes > 1:
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            state = jax.tree.map(lambda x: to_global(x, repl), state)
+            sharded = {k: to_global(v, data) for k, v in batch.items()}
+        else:
+            state = shard_train_state(state, mesh)
+            sharded = shard_batch(batch, mesh)
         rng = jax.random.key(1)
         state, loss = step(state, sharded, rng)  # compile + warmup
         jax.block_until_ready(loss)
