@@ -93,7 +93,41 @@ def install_stubs():
             def __init__(self, *a, **k):
                 raise NotImplementedError("stub")
 
+        class Spectrogram(tnn.Module):
+            """Faithful torchaudio.transforms.Spectrogram (the subset the
+            reference RSS/SSS loss uses, loss.py:14: hann window,
+            win_length=n_fft, center=False, power, 'window' normalization)
+            in pure torch — so the reference loss EXECUTES for A/B tests."""
+
+            def __init__(self, n_fft=400, win_length=None, hop_length=None,
+                         power=2.0, normalized=False, center=True,
+                         pad=0, **_):
+                super().__init__()
+                self.n_fft = n_fft
+                self.win_length = win_length or n_fft
+                self.hop_length = hop_length or self.win_length // 2
+                self.power = power
+                self.normalized = normalized
+                self.center = center
+                self.pad = pad
+
+            def forward(self, x):
+                if self.pad:
+                    x = F.pad(x, (self.pad, self.pad))
+                window = torch.hann_window(self.win_length, dtype=x.dtype)
+                spec = torch.stft(
+                    x, self.n_fft, hop_length=self.hop_length,
+                    win_length=self.win_length, window=window,
+                    center=self.center, return_complex=True,
+                )
+                if self.normalized:
+                    spec = spec / window.pow(2.0).sum().sqrt()
+                if self.power is not None:
+                    spec = spec.abs().pow(self.power)
+                return spec
+
         tat.Resample = Resample
+        tat.Spectrogram = Spectrogram
         ta.transforms = tat
         sys.modules["torchaudio"] = ta
         sys.modules["torchaudio.transforms"] = tat
