@@ -324,6 +324,15 @@ class UnitsEncoder:
         if encoder_ckpt:
             self.variables = self._load_ckpt(encoder_ckpt)
         else:  # random init (tests / benchmarking without pretrained assets)
+            import warnings
+
+            warnings.warn(
+                f" [!] no checkpoint for units encoder '{encoder}' — using "
+                "RANDOM weights. Unit embeddings will be garbage; set "
+                "data.encoder_ckpt for real conversions (random init is only "
+                "meant for tests/benchmarks).",
+                RuntimeWarning, stacklevel=2,
+            )
             self.variables = self.model.init(
                 jax.random.key(0), jnp.zeros((1, 1600))
             )

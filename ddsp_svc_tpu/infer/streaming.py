@@ -102,6 +102,15 @@ class SvcCore:
                     ),
                 )
             except FileNotFoundError:
+                import warnings
+
+                warnings.warn(
+                    f" [!] enhancer checkpoint not found: "
+                    f"{self.args.enhancer.ckpt} — continuing with RAW DDSP "
+                    "output (no enhancement). Fix enhancer.ckpt in the "
+                    "model's config.yaml for production conversions.",
+                    RuntimeWarning, stacklevel=2,
+                )
                 self.enhancer = None
         self._step = 0
         self._synth_cache: Dict = {}

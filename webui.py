@@ -34,7 +34,7 @@ def launch_job(name, cmd_args):
     with JOB_LOCK:
         if name in JOBS and JOBS[name].poll() is None:
             return f"job '{name}' already running (pid {JOBS[name].pid})"
-        log = open(f"webui_{name}.log", "w")
+        log = open(_resolve(f"webui_{name}.log"), "w")
         proc = subprocess.Popen(
             cmd_args, stdout=log, stderr=subprocess.STDOUT,
             cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -125,12 +125,19 @@ class Handler(BaseHTTPRequestHandler):
                     "env": {"expdir": get("expdir")},
                     "train": {"batch_size": int(get("batch_size", "24"))},
                 },
+                out_path=get("out", "configs/opt.yaml"),
             )
             msg = f"wrote {path}"
         elif action == "preprocess":
-            msg = launch_job("preprocess", ["python", "preprocess.py", "-c", "configs/opt.yaml"])
+            msg = launch_job(
+                "preprocess",
+                ["python", "preprocess.py", "-c",
+                 _resolve(get("config", "configs/opt.yaml"))])
         elif action == "train":
-            msg = launch_job("train", ["python", "train.py", "-c", "configs/opt.yaml"])
+            msg = launch_job(
+                "train",
+                ["python", "train.py", "-c",
+                 _resolve(get("config", "configs/opt.yaml"))])
         elif action == "tensorboard":
             msg = launch_job(
                 "tensorboard",
