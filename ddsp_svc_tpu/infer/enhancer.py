@@ -57,6 +57,14 @@ class NsfHifiGAN:
         )
         if variables is not None:
             self.variables = variables
+        elif model_path is not None and model_path.endswith((".ckpt", ".msgpack")):
+            # flax checkpoint (e.g. written by the GAN fine-tuning loop)
+            from flax import serialization
+
+            with open(model_path, "rb") as f:
+                self.variables = jax.tree.map(
+                    jnp.asarray, serialization.msgpack_restore(f.read())
+                )
         elif model_path is not None:
             self.variables = self._load_torch(model_path)
         else:  # random init (tests / benches without pretrained assets)
