@@ -35,6 +35,72 @@ H_NSF = {
 }
 
 
+def latency_main(batch: int, bf16: bool, iters: int = 24):
+    """Latency mode (--latency): single-stream serving shape — batch 1-2,
+    one window per dispatch, NO pipelining. Reports per-window latency
+    percentiles and the single-stream realtime factor. Through the remote
+    relay the number includes the relay round-trip (it is the deployable
+    latency of this environment, not the chip's own)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddsp_svc_tpu.models import CombSubFast
+    from ddsp_svc_tpu.infer.enhancer import NsfHifiGAN
+
+    sr, block, n_unit = 44100, 512, 256
+    n_frames = int(os.environ.get("BENCH_FRAMES", 512))
+    b = batch
+
+    rng = np.random.default_rng(time.time_ns() % (2**32))
+    units = jnp.asarray(rng.standard_normal((b, n_frames, n_unit)).astype(np.float32))
+    f0 = jnp.asarray((110.0 + 300.0 * rng.random((b, n_frames, 1))).astype(np.float32))
+    volume = jnp.asarray(rng.random((b, n_frames)).astype(np.float32))
+    spk_id = jnp.asarray(np.ones((b, 1), dtype=np.int64))
+    noise = jnp.asarray((rng.random((b, n_frames * block)) * 2 - 1).astype(np.float32))
+    rand_ini = jnp.zeros((b, 9))
+
+    model = CombSubFast(sampling_rate=sr, block_size=block, n_unit=n_unit,
+                        n_spk=8, bf16=bf16)
+    variables = jax.jit(
+        lambda k, u, f, v, s, n: model.init({"params": k}, u, f, v, s, noise=n)
+    )(jax.random.key(0), units, f0, volume, spk_id, noise)
+    nsf = NsfHifiGAN(None, h=H_NSF,
+                     bf16_min_channels=128 if bf16 else 0)
+
+    def full(variables, nsf_vars, units, f0, volume, spk_id, noise, rand_ini):
+        signal, _, _ = model.apply(
+            variables, units, f0, volume, spk_id, infer=True, noise=noise
+        )
+        out = nsf._forward_impl(nsf_vars, signal, f0[..., 0], rand_ini)
+        return jnp.sum(out)
+
+    fwd = jax.jit(full)
+
+    def issue(i):
+        return fwd(variables, nsf.variables, units + 0.01 * i, f0, volume,
+                   spk_id, noise * (1.0 - 0.001 * i), rand_ini)
+
+    float(issue(0))  # compile + warmup
+    lat = []
+    for i in range(1, iters + 1):
+        st = time.perf_counter()
+        float(issue(i))  # scalar readback = reliable barrier on the relay
+        lat.append(time.perf_counter() - st)
+    p50 = float(np.median(lat))
+    p95 = float(np.quantile(lat, 0.95))
+    window_sec = n_frames * block / sr
+    print(json.dumps({
+        "metric": "latency_per_window",
+        "batch": b,
+        "bf16": bf16,
+        "window_s": round(window_sec, 3),
+        "p50_ms": round(1e3 * p50, 1),
+        "p95_ms": round(1e3 * p95, 1),
+        "stream_realtime_factor": round(window_sec / p50, 1),
+        "throughput_rtf": round(b * window_sec / p50, 1),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -137,4 +203,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--latency" in sys.argv:
+        import argparse
+
+        p = argparse.ArgumentParser()
+        p.add_argument("--latency", action="store_true")
+        p.add_argument("--batch", type=int, default=2)
+        p.add_argument("--fp32", action="store_true",
+                       help="fp32 everywhere (default: bf16 PCmer + staged-"
+                            "bf16 enhancer, the recommended serving config)")
+        p.add_argument("--iters", type=int, default=24)
+        a = p.parse_args()
+        latency_main(a.batch, bf16=not a.fp32, iters=a.iters)
+    else:
+        main()

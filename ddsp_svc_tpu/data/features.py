@@ -65,7 +65,16 @@ def _autocorr_candidates(frames, sr: int, f0_min: float, f0_max: float,
     valid = (lags >= lag_min) & (lags <= lag_max)
     # local maxima only
     is_peak = (rn > jnp.roll(rn, 1, axis=-1)) & (rn >= jnp.roll(rn, -1, axis=-1))
-    rn_masked = jnp.where(valid[None, :] & is_peak, rn, -jnp.inf)
+    # Praat octave cost R = r - c*log2(f0_min * tau): a perfectly periodic
+    # signal peaks equally at T, 2T, 3T, ... — without this, window
+    # compensation noise makes the tracker lock onto subharmonics (caught
+    # by tests/test_f0_accuracy.py: steady 440 Hz reported as 146.7 Hz)
+    octave_pen = 0.01 * jnp.log2(
+        jnp.maximum(lags, 1).astype(frames.dtype) * (f0_min / sr)
+    )
+    rn_masked = jnp.where(
+        valid[None, :] & is_peak, rn - octave_pen[None, :], -jnp.inf
+    )
     strengths, peaks = jax.lax.top_k(rn_masked, top_k)  # (N, K)
 
     p0 = jnp.take_along_axis(rn, jnp.maximum(peaks - 1, 0), axis=-1)

@@ -104,8 +104,11 @@ def preprocess(
 
 def preprocess_from_config(args) -> None:
     d = args.data
+    # backend='auto': the C++ NCCF host library when built (the CPU fast
+    # path for multi-hour datasets), else the JAX tracker
     f0_extractor = F0Extractor(
-        d.f0_extractor, d.sampling_rate, d.block_size, d.f0_min, d.f0_max
+        d.f0_extractor, d.sampling_rate, d.block_size, d.f0_min, d.f0_max,
+        backend="auto",
     )
     volume_extractor = VolumeExtractor(d.block_size)
     units_encoder = UnitsEncoder(

@@ -1,0 +1,135 @@
+"""Synthetic golden F0 suite: quantifies the extractors against KNOWN ground
+truth (steady tones, exponential FM sweep, vibrato, breathy voiced/unvoiced
+onsets) — cents RMSE on voiced frames and voicing precision/recall.
+
+The reference delegates F0 to pyworld/parselmouth C++ (vocoder.py:62-86);
+this framework ships its own autocorrelation family (JAX + native NCCF).
+These tests BOUND the deviation from ideal behavior with data, per-backend,
+rather than assuming WORLD-equality."""
+import numpy as np
+import pytest
+
+from ddsp_svc_tpu.data.features import F0Extractor
+from ddsp_svc_tpu import native
+
+SR, HOP = 16000, 160  # 10 ms frames
+
+
+def _render(f0_fn, dur, voiced_mask_fn=None, noise=0.0, seed=0):
+    """Harmonic-rich signal with instantaneous f0 = f0_fn(t)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(dur * SR)) / SR
+    f0 = f0_fn(t)
+    phase = 2 * np.pi * np.cumsum(f0) / SR
+    sig = (0.6 * np.sin(phase) + 0.3 * np.sin(2 * phase)
+           + 0.15 * np.sin(3 * phase))
+    if voiced_mask_fn is not None:
+        sig = sig * voiced_mask_fn(t)
+    if noise:
+        sig = sig + noise * rng.standard_normal(len(t))
+    return sig.astype(np.float32), f0
+
+
+def _frame_truth(f0, n_frames):
+    idx = np.minimum(np.arange(n_frames) * HOP, len(f0) - 1)
+    return f0[idx]
+
+
+def _metrics(got, truth_f0, truth_voiced, guard=3):
+    """cents RMSE over frames voiced in both; precision/recall of voicing.
+    `guard` frames around voicing transitions are excluded (window overlap
+    makes them genuinely ambiguous for any frame-based extractor)."""
+    n = min(len(got), len(truth_f0))
+    got, truth_f0, truth_voiced = got[:n], truth_f0[:n], truth_voiced[:n]
+    trans = np.flatnonzero(np.diff(truth_voiced.astype(np.int8)) != 0)
+    amb = np.zeros(n, bool)
+    for i in trans:
+        amb[max(0, i - guard): i + guard + 1] = True
+    det = got > 0
+    keep = ~amb
+    tp = np.sum(det & truth_voiced & keep)
+    precision = tp / max(np.sum(det & keep), 1)
+    recall = tp / max(np.sum(truth_voiced & keep), 1)
+    both = det & truth_voiced & keep
+    cents = 1200 * np.log2(np.maximum(got[both], 1e-6)
+                           / np.maximum(truth_f0[both], 1e-6))
+    rmse = float(np.sqrt(np.mean(cents ** 2))) if both.any() else np.inf
+    return rmse, float(precision), float(recall)
+
+
+BACKENDS = ["jax"] + (["native"] if native.ensure_built() else [])
+
+
+def _extract(audio, backend, algo="dio"):
+    ext = F0Extractor(algo, SR, HOP, 65, 800, backend=backend)
+    return ext.extract(audio, uv_interp=False)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+@pytest.mark.parametrize("hz", [110.0, 220.0, 440.0])
+def test_steady_tone(backend, hz):
+    audio, f0 = _render(lambda t: np.full_like(t, hz), 2.0, noise=0.003)
+    got = _extract(audio, backend)
+    truth = _frame_truth(f0, len(got))
+    rmse, precision, recall = _metrics(got, truth, np.ones(len(got), bool))
+    print(f"[f0 {backend}] steady {hz} Hz: {rmse:.1f} cents, "
+          f"P={precision:.3f} R={recall:.3f}")
+    assert rmse < 15, rmse
+    assert recall > 0.95 and precision > 0.95
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_fm_sweep(backend):
+    """Exponential 150->500 Hz sweep over 3 s."""
+    audio, f0 = _render(
+        lambda t: 150.0 * (500.0 / 150.0) ** (t / t[-1]), 3.0, noise=0.003)
+    got = _extract(audio, backend)
+    truth = _frame_truth(f0, len(got))
+    rmse, precision, recall = _metrics(got, truth, np.ones(len(got), bool))
+    print(f"[f0 {backend}] sweep: {rmse:.1f} cents, P={precision:.3f} "
+          f"R={recall:.3f}")
+    assert rmse < 40, rmse
+    assert recall > 0.9
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_vibrato(backend):
+    """220 Hz with +-5% vibrato at 5.5 Hz (singing-voice regime)."""
+    audio, f0 = _render(
+        lambda t: 220.0 * (1 + 0.05 * np.sin(2 * np.pi * 5.5 * t)), 3.0,
+        noise=0.003)
+    got = _extract(audio, backend)
+    truth = _frame_truth(f0, len(got))
+    rmse, precision, recall = _metrics(got, truth, np.ones(len(got), bool))
+    print(f"[f0 {backend}] vibrato: {rmse:.1f} cents, P={precision:.3f} "
+          f"R={recall:.3f}")
+    assert rmse < 40, rmse
+    assert recall > 0.9
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_breathy_onsets_voicing(backend):
+    """Voiced stretches separated by breath noise: voicing decisions."""
+    def voiced_mask(t):
+        m = ((t % 1.5) < 1.0).astype(np.float64)
+        return m
+
+    def f0_fn(t):
+        return 200.0 + 40.0 * np.sin(2 * np.pi * 0.7 * t)
+
+    rng = np.random.default_rng(3)
+    audio, f0 = _render(f0_fn, 6.0, voiced_mask_fn=voiced_mask)
+    t = np.arange(len(audio)) / SR
+    breath = 0.02 * rng.standard_normal(len(audio)).astype(np.float32)
+    audio = audio + breath * (1 - voiced_mask(t)).astype(np.float32)
+
+    got = _extract(audio, backend)
+    n = len(got)
+    truth = _frame_truth(f0, n)
+    tv = _frame_truth(voiced_mask(t), n) > 0.5
+    rmse, precision, recall = _metrics(got, truth, tv, guard=5)
+    print(f"[f0 {backend}] breathy: {rmse:.1f} cents, P={precision:.3f} "
+          f"R={recall:.3f}")
+    assert precision > 0.9, precision
+    assert recall > 0.85, recall
+    assert rmse < 40, rmse
