@@ -1,13 +1,18 @@
 """Feature extraction: F0, volume, and acoustic units.
 
 Capability parity with /root/reference/ddsp/vocoder.py:20-211:
-  - F0Extractor supports the reference's extractor names. 'parselmouth',
-    'dio', 'harvest' map to a JAX-native Boersma-style autocorrelation pitch
-    tracker (the reference used C++ Praat/WORLD for these; same frame
-    contract: n_frames = len//hop + 1, silence_front skipping, uv_interp
-    unvoiced filling clamped to f0_min — vocoder.py:45-113). 'crepe' runs the
-    JAX CREPE port (nn/crepe.py) with median/masked-average smoothing and the
-    5 ms -> hop nearest resample (vocoder.py:89-102).
+  - F0Extractor supports the reference's extractor names, each a distinct
+    algorithm family as in the reference (vocoder.py:62-86):
+    'parselmouth' = Praat-style autocorrelation candidates + Viterbi (JAX,
+    with an optional native C++ NCCF fast path); 'dio' = DIO + StoneMask
+    (data/world_f0.py, matching pw.dio(channels_in_octave=2)+pw.stonemask);
+    'harvest' = Harvest-style dense-candidate tracker (world_f0.harvest).
+    Same frame contract for all: n_frames = len//hop + 1, silence_front
+    skipping, uv_interp unvoiced filling clamped to f0_min
+    (vocoder.py:45-113). 'crepe' runs the JAX CREPE port (nn/crepe.py) with
+    median/masked-average smoothing and the 5 ms -> hop nearest resample
+    (vocoder.py:89-102). Accuracy of all families is bounded by the
+    synthetic golden suite (tests/test_f0_accuracy.py).
   - VolumeExtractor: frame RMS (vocoder.py:116-137).
   - UnitsEncoder: resample to encoder rate (cached kernels) -> HuBERT-soft ->
     nearest-neighbor frame alignment to the synth hop (vocoder.py:176-211).
@@ -214,9 +219,12 @@ class F0Extractor:
         f0_max: float = 800,
         backend: str = "jax",
     ):
-        """backend: 'jax' (device autocorrelation), 'native' (C++ NCCF host
-        library — the CPU fast path for preprocessing), or 'auto' (native if
-        built, else jax). 'crepe' always runs the JAX CREPE model."""
+        """backend selects the implementation of the 'parselmouth' AC family:
+        'jax' (device autocorrelation), 'native' (C++ NCCF host library — the
+        CPU fast path for preprocessing), or 'auto' (native if built, else
+        jax). 'dio'/'harvest' run their own host-numpy WORLD-family
+        algorithms (world_f0.py) and 'crepe' the JAX CREPE model — the
+        backend knob does not apply to them."""
         if f0_extractor not in ("parselmouth", "dio", "harvest", "crepe"):
             raise ValueError(f" [x] Unknown f0 extractor: {f0_extractor}")
         self.f0_extractor = f0_extractor
@@ -245,6 +253,20 @@ class F0Extractor:
 
         if self.f0_extractor == "crepe":
             f0 = self._extract_crepe(audio_trim, n_frames - start_frame)
+        elif self.f0_extractor == "dio":
+            from . import world_f0
+
+            f0 = world_f0.dio(
+                audio_trim, self.sample_rate, self.hop_size,
+                self.f0_min, self.f0_max,
+            )
+        elif self.f0_extractor == "harvest":
+            from . import world_f0
+
+            f0 = world_f0.harvest(
+                audio_trim, self.sample_rate, self.hop_size,
+                self.f0_min, self.f0_max,
+            )
         else:
             f0 = None
             if self.backend in ("native", "auto"):

@@ -104,8 +104,10 @@ def preprocess(
 
 def preprocess_from_config(args) -> None:
     d = args.data
-    # backend='auto': the C++ NCCF host library when built (the CPU fast
-    # path for multi-hour datasets), else the JAX tracker
+    # backend='auto' applies to the 'parselmouth' AC family: the C++ NCCF
+    # host library when built (the CPU fast path for multi-hour datasets),
+    # else the JAX tracker. 'dio'/'harvest' run their own vectorized
+    # WORLD-family algorithms (world_f0.py); 'crepe' runs on device.
     f0_extractor = F0Extractor(
         d.f0_extractor, d.sampling_rate, d.block_size, d.f0_min, d.f0_max,
         backend="auto",

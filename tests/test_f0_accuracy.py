@@ -3,9 +3,11 @@ truth (steady tones, exponential FM sweep, vibrato, breathy voiced/unvoiced
 onsets) — cents RMSE on voiced frames and voicing precision/recall.
 
 The reference delegates F0 to pyworld/parselmouth C++ (vocoder.py:62-86);
-this framework ships its own autocorrelation family (JAX + native NCCF).
-These tests BOUND the deviation from ideal behavior with data, per-backend,
-rather than assuming WORLD-equality."""
+this framework ships three distinct families: the Praat-style AC+Viterbi
+tracker ('parselmouth', JAX + native NCCF backends), DIO+StoneMask ('dio'),
+and the Harvest-style dense-candidate tracker ('harvest'), both in
+data/world_f0.py. These tests BOUND each family's deviation from ideal
+behavior with data, rather than assuming pyworld-equality."""
 import numpy as np
 import pytest
 
@@ -57,11 +59,19 @@ def _metrics(got, truth_f0, truth_voiced, guard=3):
     return rmse, float(precision), float(recall)
 
 
-BACKENDS = ["jax"] + (["native"] if native.ensure_built() else [])
+# (algo, backend) pairs: every algorithm family, plus the native NCCF
+# implementation of the AC family when the C++ library builds.
+FAMILIES = [
+    ("parselmouth", "jax"),
+    ("dio", "jax"),
+    ("harvest", "jax"),
+] + ([("parselmouth", "native")] if native.ensure_built() else [])
+BACKENDS = [f"{algo}:{backend}" for algo, backend in FAMILIES]
 
 
-def _extract(audio, backend, algo="dio"):
-    ext = F0Extractor(algo, SR, HOP, 65, 800, backend=backend)
+def _extract(audio, family, algo=None):
+    name, backend = family.split(":")
+    ext = F0Extractor(algo or name, SR, HOP, 65, 800, backend=backend)
     return ext.extract(audio, uv_interp=False)
 
 
@@ -133,3 +143,44 @@ def test_breathy_onsets_voicing(backend):
     assert precision > 0.9, precision
     assert recall > 0.85, recall
     assert rmse < 40, rmse
+
+
+def test_stonemask_refines_detuned_track():
+    """StoneMask contract (reference: pw.stonemask after pw.dio,
+    vocoder.py:74): a coarsely-detuned initial track is pulled onto the true
+    f0 by the harmonic-IF refinement."""
+    from ddsp_svc_tpu.data.world_f0 import stonemask
+
+    audio, f0 = _render(lambda t: np.full_like(t, 261.63), 1.5)
+    n = int(len(audio) // HOP) + 1
+    detuned = np.full(n, 261.63 * 2 ** (0.5 / 12), np.float64)  # +50 cents
+    detuned[:2] = 0.0  # unvoiced frames must stay unvoiced
+    refined = stonemask(audio, SR, detuned, HOP)
+    assert refined[0] == 0.0 and refined[1] == 0.0
+    cents = 1200 * np.log2(refined[4:-4] / 261.63)
+    assert np.max(np.abs(cents)) < 3.0, np.max(np.abs(cents))
+
+
+def test_families_are_distinct_algorithms():
+    """'parselmouth' / 'dio' / 'harvest' are three separate algorithm
+    families (AC+Viterbi, DIO+StoneMask, dense-candidate Harvest) — similar
+    contours on clean audio, but NOT the same code path returning identical
+    arrays (the reference used three different C++ libraries,
+    vocoder.py:62-86)."""
+    audio, _ = _render(
+        lambda t: 220.0 * (1 + 0.04 * np.sin(2 * np.pi * 4.0 * t)), 2.0,
+        noise=0.005)
+    tracks = {
+        algo: _extract(audio, f"{algo}:jax") for algo in
+        ("parselmouth", "dio", "harvest")
+    }
+    for a in tracks:
+        for b in tracks:
+            if a >= b:
+                continue
+            assert not np.array_equal(tracks[a], tracks[b]), (a, b)
+            va, vb = tracks[a] > 0, tracks[b] > 0
+            both = va & vb
+            cents = 1200 * np.log2(tracks[a][both] / tracks[b][both])
+            # ... while still agreeing as pitch trackers
+            assert np.median(np.abs(cents)) < 20, (a, b)
