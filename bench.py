@@ -64,8 +64,12 @@ def latency_main(batch: int, bf16: bool, iters: int = 24):
     variables = jax.jit(
         lambda k, u, f, v, s, n: model.init({"params": k}, u, f, v, s, noise=n)
     )(jax.random.key(0), units, f0, volume, spk_id, noise)
+    overrides = {}
+    if os.environ.get("BENCH_FUSED", "1") == "0":
+        overrides = {"fused_resblocks": False, "fused_inject": False}
     nsf = NsfHifiGAN(None, h=H_NSF,
-                     bf16_min_channels=128 if bf16 else 0)
+                     bf16_min_channels=128 if bf16 else 0,
+                     generator_overrides=overrides)
 
     def full(variables, nsf_vars, units, f0, volume, spk_id, noise, rand_ini):
         signal, _, _ = model.apply(
@@ -93,6 +97,7 @@ def latency_main(batch: int, bf16: bool, iters: int = 24):
         "metric": "latency_per_window",
         "batch": b,
         "bf16": bf16,
+        "fused": not overrides,
         "window_s": round(window_sec, 3),
         "p50_ms": round(1e3 * p50, 1),
         "p95_ms": round(1e3 * p95, 1),

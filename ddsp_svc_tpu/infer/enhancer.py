@@ -30,12 +30,15 @@ class NsfHifiGAN:
     (sibling config.json, models.py:24-39) or a converted flax checkpoint."""
 
     def __init__(self, model_path: Optional[str], h: Optional[dict] = None,
-                 variables=None, dtype=None, bf16_min_channels: int = 0):
+                 variables=None, dtype=None, bf16_min_channels: int = 0,
+                 generator_overrides: Optional[dict] = None):
         """dtype: compute dtype for the generator (params stay fp32).
         bf16_min_channels: run upsample stages in bf16 only while their
         channel count is >= this value (0 = off). Measured on v5e: staged
         bf16 (threshold 128) is +29% end-to-end while full-bf16 is slower
-        (the narrow late stages are bandwidth-bound and pay cast overhead)."""
+        (the narrow late stages are bandwidth-bound and pay cast overhead).
+        generator_overrides: extra Generator fields (e.g. fused_resblocks)
+        for dispatch-gate sweeps/benches."""
         if model_path is not None:
             config_file = os.path.join(os.path.dirname(model_path), "config.json")
             with open(config_file) as f:
@@ -54,6 +57,7 @@ class NsfHifiGAN:
             ),
             dtype=dtype,
             bf16_min_channels=bf16_min_channels,
+            **(generator_overrides or {}),
         )
         if variables is not None:
             self.variables = variables
