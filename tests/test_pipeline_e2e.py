@@ -145,3 +145,38 @@ def test_train_and_infer(workspace):
     )
     audio2, _ = read_wav(out2)
     assert np.isfinite(audio2).all()
+
+
+def test_preprocess_moves_all_unvoiced_to_skip(tmp_path):
+    """A clip with NO voiced frames is quarantined in skip/ (reference
+    preprocess.py:96-102 moves a file only when f0==0 everywhere),
+    exercised with the real DIO extractor on digital silence; a sung clip
+    in the same dataset must survive with its features written."""
+    root = tmp_path / "ds"
+    d = root / "audio" / "1"
+    d.mkdir(parents=True)
+    write_wav(str(d / "sung.wav"), _sing(220.0, 2.0), SR)
+    write_wav(str(d / "silent.wav"), np.zeros(2 * SR, np.float32), SR)
+    f0x = F0Extractor("dio", SR, HOP, 65, 800)
+    vx = VolumeExtractor(HOP)
+    preprocess(str(root), f0x, vx, None, SR, HOP)
+    assert (root / "skip" / "1" / "silent.wav").exists()
+    assert not (root / "audio" / "1" / "silent.wav").exists()
+    assert (root / "audio" / "1" / "sung.wav").exists()
+    assert (root / "f0" / "1" / "sung.npy").exists()
+    f0 = np.load(root / "f0" / "1" / "sung.npy")
+    assert (f0 > 0).all()  # uv_interp'd on save (preprocess.py contract)
+
+
+def test_noise_voicing_per_family():
+    """Pure breath noise: Harvest's harmonic-consistency scoring must mark
+    it fully unvoiced; DIO (the permissive family, like WORLD's) may voice
+    a small fraction via narrowband channel noise but must stay bounded."""
+    from ddsp_svc_tpu.data import world_f0
+
+    rng = np.random.default_rng(0)
+    noise = (0.05 * rng.standard_normal(2 * SR)).astype(np.float32)
+    fh = world_f0.harvest(noise, SR, HOP, 65, 800)
+    assert (fh == 0).all()
+    fd = world_f0.dio(noise, SR, HOP, 65, 800)
+    assert (fd > 0).mean() < 0.15
