@@ -121,9 +121,17 @@ class NsfHifiGAN:
         return self.model.apply(variables, mel, f0_frames, rand_ini)
 
     def __call__(self, audio: jnp.ndarray, f0_frames: jnp.ndarray,
-                 rng: Optional[jax.Array] = None) -> Tuple[jnp.ndarray, int]:
+                 rng: Optional[jax.Array] = None,
+                 rand_ini: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, int]:
+        """rand_ini :: optional (B, 9) explicit SineGen initial rotations
+        (column 0 must be 0) — parity harnesses inject the exact values the
+        reference drew (models.py:150-152); otherwise drawn from rng (zeros
+        when rng is None)."""
         b = audio.shape[0]
-        if rng is None:
+        if rand_ini is not None:
+            rand_ini = jnp.asarray(rand_ini, jnp.float32)
+        elif rng is None:
             rand_ini = jnp.zeros((b, 9))
         else:
             rand_ini = jax.random.uniform(rng, (b, 9)).at[:, 0].set(0.0)
@@ -150,6 +158,7 @@ class Enhancer:
         adaptive_key=0,
         silence_front: float = 0,
         rng: Optional[jax.Array] = None,
+        rand_ini: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, int]:
         start_frame = int(silence_front * sample_rate / hop_size)
         real_silence_front = start_frame * hop_size / sample_rate
@@ -183,7 +192,8 @@ class Enhancer:
         f0_res = f0_res[None, :].astype(np.float32)
 
         enhanced, enhancer_sr = self.enhancer(
-            jnp.asarray(audio_res), jnp.asarray(f0_res), rng=rng
+            jnp.asarray(audio_res), jnp.asarray(f0_res), rng=rng,
+            rand_ini=rand_ini,
         )
         enhanced = np.asarray(enhanced)
 

@@ -96,11 +96,14 @@ def run_inference(
     compat_double_key: bool = False,
     seed: int = 0,
     noise_hook=None,
+    enhancer_rand_hook=None,
     output_subtype: str = "PCM_16",
 ) -> str:
     """noise_hook(segment_index, (b, t_samples)) -> np.ndarray: optionally
     injects the exact uniform(-1,1) excitation per segment (used by the
-    full-pipeline A/B harness to align randomness with the reference)."""
+    full-pipeline A/B harness to align randomness with the reference).
+    enhancer_rand_hook(segment_index) -> (1, 9) np.ndarray: likewise injects
+    the enhancer SineGen's initial rotations (models.py:150-152)."""
     model, variables, args = load_model(model_path)
 
     audio, sr_i = load_audio(input_path, sr=sampling_rate, mono=True)
@@ -188,10 +191,14 @@ def run_inference(
         seg_out = seg_out * mask[:, start_frame * bs: (start_frame + n_f) * bs]
 
         if enhancer is not None:
+            enh_rand = None
+            if enhancer_rand_hook is not None:
+                enh_rand = np.asarray(enhancer_rand_hook(i), dtype=np.float32)
             seg_out, sr_o = enhancer.enhance(
                 seg_out, args.data.sampling_rate, seg_f0, bs,
                 adaptive_key=enhancer_adaptive_key,
                 rng=jax.random.fold_in(seg_rng, 1),
+                rand_ini=enh_rand,
             )
         seg_out = np.asarray(seg_out).reshape(-1)
 

@@ -35,6 +35,31 @@ def _leaky(x, slope=LRELU_SLOPE):
     return jnp.where(x >= 0, x, slope * x)
 
 
+def _source_phase(
+    f0_frames: jnp.ndarray, upp: int, sr: int, rand_ini: jnp.ndarray,
+    harmonic_num: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Frame-start rotations + per-sample rad (SineGen phase bookkeeping).
+
+    The reference adds rand_ini to frame 0's per-sample rad value
+    (models.py:152) BEFORE the cumsum — so during frame 0 each sample
+    accumulates (rad_0 + rand_ini), and every later frame inherits a
+    wrapped offset of upp*rand_ini. A constant-phase-offset reading of
+    rand_ini is NOT equivalent (caught by the -e true whole-pipeline A/B).
+    Returns (start :: (B,F,H), rad :: (B,F,H)).
+    """
+    h = harmonic_num + 1
+    k = jnp.arange(1, h + 1, dtype=f0_frames.dtype)
+    rad = _wrap(f0_frames[..., None] * k / sr)  # per-sample rotation, (B,F,H)
+    # integer phase shifts are invisible to sin(2*pi*x), so wrapped rad may
+    # differ from the reference's (fn/sr)%1 by an integer — harmless
+    rad = rad.at[:, 0, :].add(rand_ini)
+    d = _wrap(rad * upp)  # per-frame rotation (mod 1)
+    end = _cumsum_mod1_compensated(d, axis=1)  # rotation at each frame end
+    start = _wrap(end - d)  # rotation at frame start
+    return start, rad
+
+
 def sine_source(
     f0_frames: jnp.ndarray,
     upp: int,
@@ -49,12 +74,7 @@ def sine_source(
     rotations). Returns (B, F*upp, H).
     """
     h = harmonic_num + 1
-    k = jnp.arange(1, h + 1, dtype=f0_frames.dtype)
-    rad = _wrap(f0_frames[..., None] * k / sr)  # per-sample rotation, (B,F,H)
-    d = _wrap(rad * upp)  # per-frame rotation (mod 1)
-    end = _cumsum_mod1_compensated(d, axis=1)  # rotation at each frame end
-    start = _wrap(end - d)  # rotation at frame start
-    start = _wrap(start + rand_ini[:, None, :])
+    start, rad = _source_phase(f0_frames, upp, sr, rand_ini, harmonic_num)
     # within-frame linear accumulation: sample s (1-indexed) adds rad*s
     s = jnp.arange(1, upp + 1, dtype=f0_frames.dtype)
     phase = start[:, :, None, :] + rad[:, :, None, :] * s[None, None, :, None]
@@ -80,13 +100,7 @@ def harmonic_source_fused(
     tanh(Dense(sine_source(...))) but XLA fuses broadcast+sin+reduce into
     one pass over (B, F, upp) instead of materializing the (B, T, 9) sine
     bank around a reshape. Returns (B, F*upp, 1)."""
-    h = harmonic_num + 1
-    k = jnp.arange(1, h + 1, dtype=f0_frames.dtype)
-    rad = _wrap(f0_frames[..., None] * k / sr)
-    d = _wrap(rad * upp)
-    end = _cumsum_mod1_compensated(d, axis=1)
-    start = _wrap(end - d)
-    start = _wrap(start + rand_ini[:, None, :])
+    start, rad = _source_phase(f0_frames, upp, sr, rand_ini, harmonic_num)
     s = jnp.arange(1, upp + 1, dtype=f0_frames.dtype)
     phase = start[:, :, None, :] + rad[:, :, None, :] * s[None, None, :, None]
     sines = jnp.sin(2.0 * np.pi * phase) * sine_amp  # (B, F, upp, H)
@@ -116,13 +130,7 @@ def harmonic_source_auto(
         )
     from ..ops.pallas_kernels import harmonic_source_pallas
 
-    h = harmonic_num + 1
-    k = jnp.arange(1, h + 1, dtype=f0_frames.dtype)
-    rad = _wrap(f0_frames[..., None] * k / sr)
-    d = _wrap(rad * upp)
-    end = _cumsum_mod1_compensated(d, axis=1)
-    start = _wrap(end - d)
-    start = _wrap(start + rand_ini[:, None, :])
+    start, rad = _source_phase(f0_frames, upp, sr, rand_ini, harmonic_num)
     return harmonic_source_pallas(start, rad, w, b, upp, sine_amp)[..., None]
 
 

@@ -271,9 +271,10 @@ def test_fused_resblock_chain_matches_reference():
 
 def test_harmonic_source_pallas_matches_fused():
     """Kernel (interpret) vs the XLA sine-bank formulation, rand phases."""
-    from ddsp_svc_tpu.nn.nsf_hifigan import harmonic_source_fused
+    from ddsp_svc_tpu.nn.nsf_hifigan import (
+        _source_phase, harmonic_source_fused,
+    )
     from ddsp_svc_tpu.ops.pallas_kernels import harmonic_source_pallas
-    from ddsp_svc_tpu.ops.phase import _cumsum_mod1_compensated, _wrap
 
     rng = np.random.default_rng(7)
     b, f, upp, sr, h = 2, 5, 128, 44100, 9
@@ -285,11 +286,7 @@ def test_harmonic_source_pallas_matches_fused():
     bias = jnp.float32(0.03)
     ref = harmonic_source_fused(f0, upp, sr, rand_ini, w, bias)[..., 0]
 
-    k = jnp.arange(1, h + 1, dtype=jnp.float32)
-    rad = _wrap(f0[..., None] * k / sr)
-    d = _wrap(rad * upp)
-    end = _cumsum_mod1_compensated(d, axis=1)
-    start = _wrap(_wrap(end - d) + rand_ini[:, None, :])
+    start, rad = _source_phase(f0, upp, sr, rand_ini, h - 1)
     got = harmonic_source_pallas(start, rad, w, bias, upp, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 

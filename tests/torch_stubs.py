@@ -86,12 +86,55 @@ def install_stubs():
             sys.modules[name] = types.ModuleType(name)
 
     if "torchaudio" not in sys.modules:
+        import math
+
         ta = types.ModuleType("torchaudio")
         tat = types.ModuleType("torchaudio.transforms")
 
-        class Resample:
-            def __init__(self, *a, **k):
-                raise NotImplementedError("stub")
+        class Resample(tnn.Module):
+            """Faithful torchaudio.transforms.Resample (default
+            'sinc_interp_hann' method, rolloff 0.99) in pure torch: gcd-
+            reduced polyphase windowed-sinc kernel applied as a strided
+            conv1d, identity when orig_freq == new_freq — so the reference
+            enhancer's adaptive-rate chain (enhancer.py:46-52,67-72)
+            EXECUTES for the whole-pipeline A/B."""
+
+            def __init__(self, orig_freq=16000, new_freq=16000,
+                         lowpass_filter_width=6, rolloff=0.99, **_):
+                super().__init__()
+                g = math.gcd(int(orig_freq), int(new_freq))
+                self.orig = int(orig_freq) // g
+                self.new = int(new_freq) // g
+                if self.orig == self.new:
+                    return
+                base_freq = min(self.orig, self.new) * rolloff
+                width = math.ceil(lowpass_filter_width * self.orig / base_freq)
+                idx = torch.arange(
+                    -width, width + self.orig, dtype=torch.float64
+                )[None, :] / self.orig
+                t = (-torch.arange(self.new, dtype=torch.float64)[:, None]
+                     / self.new + idx) * base_freq
+                t = t.clamp(-lowpass_filter_width, lowpass_filter_width)
+                window = torch.cos(t * math.pi / lowpass_filter_width / 2) ** 2
+                t = t * math.pi
+                kernel = torch.where(
+                    t == 0.0, torch.ones_like(t), torch.sin(t) / t)
+                kernel = kernel * window * (base_freq / self.orig)
+                self.width = width
+                self.register_buffer(
+                    "kernel", kernel.to(torch.float32)[:, None, :])
+
+            def forward(self, waveform):
+                if self.orig == self.new:
+                    return waveform
+                shape = waveform.shape
+                length = shape[-1]
+                x = waveform.reshape(-1, 1, length)
+                x = F.pad(x, (self.width, self.width + self.orig))
+                out = F.conv1d(x, self.kernel.to(x.dtype), stride=self.orig)
+                out = out.transpose(1, 2).reshape(x.shape[0], -1)
+                target = int(math.ceil(self.new * length / self.orig))
+                return out[:, :target].reshape(shape[:-1] + (target,))
 
         class Spectrogram(tnn.Module):
             """Faithful torchaudio.transforms.Spectrogram (the subset the
