@@ -31,14 +31,18 @@ class NsfHifiGAN:
 
     def __init__(self, model_path: Optional[str], h: Optional[dict] = None,
                  variables=None, dtype=None, bf16_min_channels: int = 0,
-                 generator_overrides: Optional[dict] = None):
+                 generator_overrides: Optional[dict] = None,
+                 mesh=None, mesh_axis: str = "data"):
         """dtype: compute dtype for the generator (params stay fp32).
         bf16_min_channels: run upsample stages in bf16 only while their
         channel count is >= this value (0 = off). Measured on v5e: staged
         bf16 (threshold 128) is +29% end-to-end while full-bf16 is slower
         (the narrow late stages are bandwidth-bound and pay cast overhead).
         generator_overrides: extra Generator fields (e.g. fused_resblocks)
-        for dispatch-gate sweeps/benches."""
+        for dispatch-gate sweeps/benches.
+        mesh: optional jax.sharding.Mesh — time-shard the mel+generator
+        forward over `mesh_axis` (parallel/timeparallel.py), spreading one
+        utterance's dominant-FLOPs component across chips."""
         if model_path is not None:
             config_file = os.path.join(os.path.dirname(model_path), "config.json")
             with open(config_file) as f:
@@ -80,7 +84,13 @@ class NsfHifiGAN:
                     jnp.zeros((1, 9)),
                 )
             )(jax.random.key(0))
-        self._forward = jax.jit(self._forward_impl)
+        if mesh is not None:
+            from ..parallel.timeparallel import make_time_parallel_enhancer
+
+            tp = make_time_parallel_enhancer(self, mesh, axis=mesh_axis)
+            self._forward = lambda variables, audio, f0, ri: tp(audio, f0, ri)
+        else:
+            self._forward = jax.jit(self._forward_impl)
 
     def _load_torch(self, path: str):
         import torch
@@ -141,11 +151,13 @@ class NsfHifiGAN:
 class Enhancer:
     def __init__(self, enhancer_type: str, enhancer_ckpt: Optional[str],
                  h: Optional[dict] = None, variables=None,
-                 bf16_min_channels: int = 0):
+                 bf16_min_channels: int = 0, mesh=None,
+                 mesh_axis: str = "data"):
         if enhancer_type != "nsf-hifigan":
             raise ValueError(f" [x] Unknown enhancer: {enhancer_type}")
         self.enhancer = NsfHifiGAN(enhancer_ckpt, h=h, variables=variables,
-                                   bf16_min_channels=bf16_min_channels)
+                                   bf16_min_channels=bf16_min_channels,
+                                   mesh=mesh, mesh_axis=mesh_axis)
         self.enhancer_sample_rate = self.enhancer.sample_rate
         self.enhancer_hop_size = self.enhancer.hop_size
 

@@ -85,6 +85,14 @@ class SvcCore:
         (tests/test_streaming.py::test_fused_window_matches_legacy_infer)."""
         self.model, self.variables, self.args = load_model(model_path)
         self.mesh, self.mesh_axis = mesh, mesh_axis
+        # fused_window is mutually exclusive with mesh BY DESIGN: the fused
+        # program contains the HuBERT units encoder, whose gather-based
+        # nearest alignment and stride-320 feature extractor do not
+        # time-partition (GSPMD falls back to all-gathers that serialize
+        # the window), and its raison d'être — one dispatch per window on a
+        # single local device — is defeated by multi-chip scheduling. With
+        # a mesh, the synth AND the enhancer each run time-sharded instead
+        # (make_jitted_synth(mesh=...), Enhancer(mesh=...)).
         self.fused_window = fused_window and mesh is None
         self.units_encoder = UnitsEncoder(
             self.args.data.encoder,
@@ -100,6 +108,7 @@ class SvcCore:
                     bf16_min_channels=int(
                         self.args.enhancer.bf16_min_channels or 0
                     ),
+                    mesh=mesh, mesh_axis=mesh_axis,
                 )
             except FileNotFoundError:
                 import warnings

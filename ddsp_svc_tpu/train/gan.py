@@ -40,7 +40,14 @@ class GanState(struct.PyTreeNode):
 
 class GanTrainer:
     def __init__(self, generator, h: dict, lr: float = 2e-4,
-                 mel_weight: float = 45.0, fm_weight: float = 2.0):
+                 mel_weight: float = 45.0, fm_weight: float = 2.0,
+                 mesh=None, mesh_axis: str = "data"):
+        """mesh: optional jax.sharding.Mesh — run the D and G steps
+        data-parallel over `mesh_axis` (batch sharded, params/opt state
+        replicated; XLA inserts the gradient psum over ICI). The reference
+        has no distributed training at all (SURVEY §2.3); the GAN step is
+        the dominant-FLOPs training path (generator + 8 discriminators), so
+        it is the one that must scale."""
         self.generator = generator
         self.h = h
         self.mpd = MultiPeriodDiscriminator()
@@ -49,10 +56,29 @@ class GanTrainer:
         self.d_optimizer = optax.adamw(lr, b1=0.8, b2=0.99)
         self.mel_weight = mel_weight
         self.fm_weight = fm_weight
+        self.mesh, self.mesh_axis = mesh, mesh_axis
         self._step_d = jax.jit(self._step_d_impl, donate_argnums=(0,))
         self._step_g = jax.jit(self._step_g_impl, donate_argnums=(0,))
 
     # batch: {"mel": (B, F, M), "f0": (B, F), "audio": (B, T)}
+
+    def _constrain(self, state: "GanState", batch: Dict):
+        """DP sharding constraints: batch over the mesh axis, state
+        replicated. No-op without a mesh."""
+        if self.mesh is None:
+            return state, batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = NamedSharding(self.mesh, P(self.mesh_axis))
+        repl = NamedSharding(self.mesh, P())
+        batch = {
+            k: jax.lax.with_sharding_constraint(v, batch_sh)
+            for k, v in batch.items()
+        }
+        state = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, repl), state
+        )
+        return state, batch
 
     def create_state(self, rng, example_mel, example_f0) -> GanState:
         b = example_mel.shape[0]
@@ -93,6 +119,7 @@ class GanTrainer:
         )
 
     def _step_d_impl(self, state: GanState, batch: Dict, rng) -> Tuple[GanState, Dict]:
+        state, batch = self._constrain(state, batch)
         y = batch["audio"]
         y_hat = jax.lax.stop_gradient(
             self._generate(state.g_params, batch, jax.random.fold_in(rng, 0))
@@ -114,6 +141,7 @@ class GanTrainer:
         )
 
     def _step_g_impl(self, state: GanState, batch: Dict, rng) -> Tuple[GanState, Dict]:
+        state, batch = self._constrain(state, batch)
         y = batch["audio"]
         h = self.h
 

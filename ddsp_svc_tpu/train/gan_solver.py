@@ -170,10 +170,19 @@ def latest_gan_checkpoint(expdir: str) -> Optional[str]:
     return os.path.join(expdir, f"gan_{max(steps)}.ckpt")
 
 
-def train_gan(args, max_steps: Optional[int] = None):
-    """Run the fine-tuning loop; returns (state, expdir)."""
+def train_gan(args, max_steps: Optional[int] = None, mesh=None):
+    """Run the fine-tuning loop; returns (state, expdir).
+
+    mesh: optional jax.sharding.Mesh for data-parallel D+G steps; also
+    built automatically from all local devices when the config sets
+    `train.gan.data_parallel: true` (batch_size must divide the device
+    count)."""
     gan_cfg = args.train.gan
     h = _resolve_h(args)
+    if mesh is None and gan_cfg and gan_cfg.data_parallel:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
     expdir = (gan_cfg and gan_cfg.expdir) or os.path.join(
         args.env.expdir or "exp", "gan")
     lr = float((gan_cfg and gan_cfg.lr) or 2e-4)
@@ -188,7 +197,7 @@ def train_gan(args, max_steps: Optional[int] = None):
 
     generator = _build_generator(h)
     trainer = GanTrainer(generator, h, lr=lr, mel_weight=mel_weight,
-                         fm_weight=fm_weight)
+                         fm_weight=fm_weight, mesh=mesh)
 
     data_sr = int(args.data.sampling_rate)
     data_hop = int(args.data.block_size)

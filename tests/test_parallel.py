@@ -171,3 +171,110 @@ def test_make_jitted_synth_with_mesh_matches_unsharded(setup):
     assert got.shape == ref.shape
     scale = np.abs(ref).max() + 1e-9
     assert np.abs(got - ref).max() / scale < 3e-3, np.abs(got - ref).max() / scale
+
+
+ENH_H = {
+    "sampling_rate": 16000, "num_mels": 8, "n_fft": 128, "win_size": 128,
+    "hop_size": 32, "fmin": 40, "fmax": 8000,
+    "upsample_rates": [4, 4, 2], "upsample_kernel_sizes": [8, 8, 4],
+    "upsample_initial_channel": 16, "resblock_kernel_sizes": [3, 7, 11],
+    "resblock_dilation_sizes": [[1, 3, 5]] * 3,
+}
+
+
+def test_time_parallel_enhancer_matches_unsharded():
+    """The dominant-FLOPs component (NSF-HiFiGAN, models.py:257-276) time-
+    sharded over the mesh must match the single-device forward
+    (VERDICT r03 #2: multi-chip previously covered only the DDSP synth)."""
+    import jax.numpy as jnp
+    from ddsp_svc_tpu.infer.enhancer import NsfHifiGAN
+    from ddsp_svc_tpu.parallel.timeparallel import make_time_parallel_enhancer
+
+    nsf = NsfHifiGAN(None, h=ENH_H)
+    rng = np.random.default_rng(0)
+    f = 64
+    t = f * ENH_H["hop_size"]
+    audio = jnp.asarray((0.1 * rng.standard_normal((1, t))).astype(np.float32))
+    f0 = jnp.asarray((200 + 50 * rng.random((1, f))).astype(np.float32))
+    ri = jnp.asarray(rng.random((1, 9)).astype(np.float32)).at[:, 0].set(0.0)
+
+    ref = np.asarray(nsf._forward(nsf.variables, audio, f0, ri))
+    mesh = make_mesh(n_data=8, n_model=1)
+    fwd = make_time_parallel_enhancer(nsf, mesh)
+    got = np.asarray(fwd(audio, f0, ri))
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 1e-4, (
+        np.abs(got - ref).max() / scale
+    )
+
+
+def test_enhancer_class_with_mesh_matches_unsharded():
+    """Enhancer(mesh=...) (the streaming SvcCore integration point) routes
+    its forward through the time-parallel path; full enhance() chain must
+    match the single-device result."""
+    from ddsp_svc_tpu.infer.enhancer import Enhancer
+
+    rng = np.random.default_rng(1)
+    sr, hop = 16000, 32
+    t = 64 * 256
+    audio = (0.1 * rng.standard_normal((1, t))).astype(np.float32)
+    n_frames = t // 256 + 1
+    f0 = (220.0 + 30.0 * rng.random((1, n_frames, 1))).astype(np.float32)
+    ri = rng.random((1, 9)).astype(np.float32)
+    ri[:, 0] = 0.0
+
+    enh0 = Enhancer("nsf-hifigan", None, h=ENH_H)
+    ref, sr_ref = enh0.enhance(audio, sr, f0, 256, adaptive_key=0, rand_ini=ri)
+    mesh = make_mesh(n_data=8, n_model=1)
+    enh1 = Enhancer("nsf-hifigan", None, h=ENH_H,
+                    variables=enh0.enhancer.variables, mesh=mesh)
+    got, sr_got = enh1.enhance(audio, sr, f0, 256, adaptive_key=0, rand_ini=ri)
+    assert sr_ref == sr_got
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 1e-4, (
+        np.abs(got - ref).max() / scale
+    )
+
+
+def test_gan_step_dp_matches_single_device():
+    """One D step + one G step of the enhancer GAN fine-tune, data-parallel
+    over the 8-device mesh, must match the unsharded math (losses and
+    updated params)."""
+    import jax.numpy as jnp
+    from ddsp_svc_tpu.infer.enhancer import NsfHifiGAN
+    from ddsp_svc_tpu.train.gan import GanTrainer
+    from ddsp_svc_tpu.ops import log_mel_spectrogram
+
+    nsf = NsfHifiGAN(None, h=ENH_H)
+    rng = np.random.default_rng(2)
+    b, f = 8, 8
+    t = f * int(np.prod(ENH_H["upsample_rates"]))
+    batch = {
+        "audio": jnp.asarray(
+            (0.1 * rng.standard_normal((b, t))).astype(np.float32)),
+        "f0": jnp.asarray(
+            (200.0 + 50.0 * rng.random((b, f))).astype(np.float32)),
+    }
+    batch["mel"] = jnp.swapaxes(log_mel_spectrogram(
+        batch["audio"], ENH_H["sampling_rate"], ENH_H["n_fft"],
+        ENH_H["hop_size"], ENH_H["win_size"], ENH_H["num_mels"],
+        ENH_H["fmin"], ENH_H["fmax"]), 1, 2)
+
+    def run(mesh):
+        tr = GanTrainer(nsf.model, ENH_H, mesh=mesh)
+        st = tr.create_state(jax.random.key(1), batch["mel"], batch["f0"])
+        st, d_logs = tr.step_d(st, dict(batch), jax.random.key(2))
+        st, g_logs = tr.step_g(st, dict(batch), jax.random.key(3))
+        return st, float(d_logs["d_loss"]), float(g_logs["g_loss"])
+
+    st0, d0, g0 = run(None)
+    st1, d1, g1 = run(make_mesh(n_data=8, n_model=1))
+    assert abs(d1 - d0) / (abs(d0) + 1e-9) < 1e-4, (d0, d1)
+    assert abs(g1 - g0) / (abs(g0) + 1e-9) < 1e-4, (g0, g1)
+    flat0 = jax.tree_util.tree_leaves(st0.g_params)
+    flat1 = jax.tree_util.tree_leaves(st1.g_params)
+    for a, c in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=1e-4)
