@@ -81,9 +81,47 @@ def install_stubs():
         sys.modules["fast_transformers"] = ft
         sys.modules["fast_transformers.causal_product"] = cp
 
-    for name in ["pyworld", "parselmouth", "torchcrepe", "resampy"]:
+    for name in ["pyworld", "parselmouth", "resampy"]:
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
+
+    if "torchcrepe" not in sys.modules:
+        # torchcrepe stub: threshold.At reproduces the documented public
+        # semantics (clone pitch, set entries with periodicity < value to
+        # NaN/UNVOICED); predict() is injectable per test so the reference's
+        # crepe POSTPROCESSING chain (vocoder.py:89-102) executes from
+        # controlled probability tensors.
+        import numpy as _np
+
+        tc = types.ModuleType("torchcrepe")
+        tc.UNVOICED = float("nan")
+        tc_threshold = types.ModuleType("torchcrepe.threshold")
+
+        class At:
+            def __init__(self, value):
+                self.value = value
+
+            def __call__(self, pitch, periodicity):
+                pitch = torch.clone(pitch)
+                pitch[periodicity < self.value] = float("nan")
+                return pitch
+
+        tc_threshold.At = At
+        tc.threshold = tc_threshold
+        tc._test_predict_fn = None
+
+        def predict(audio, sample_rate, hop_length, fmin=50.0, fmax=2006.0,
+                    model="full", batch_size=None, device=None, pad=True,
+                    return_periodicity=False, **_):
+            if tc._test_predict_fn is None:
+                raise NotImplementedError(
+                    "set torchcrepe._test_predict_fn in the test")
+            return tc._test_predict_fn(
+                audio, sample_rate, hop_length, fmin, fmax)
+
+        tc.predict = predict
+        sys.modules["torchcrepe"] = tc
+        sys.modules["torchcrepe.threshold"] = tc_threshold
 
     if "torchaudio" not in sys.modules:
         import math
