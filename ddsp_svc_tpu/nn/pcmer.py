@@ -226,13 +226,14 @@ class SelfAttention(nn.Module):
             return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
         q, k, v = map(split_heads, (q, k, v))
-        if self._use_fused(infer, q.shape[2]) and valid_frames is None:
+        if self._use_fused(infer, q.shape[2]):
             from ..ops.pallas_kernels import performer_attention_pallas
 
             out = performer_attention_pallas(
                 q, k, v, projection,
                 mxu_bf16=self.compute_dtype == jnp.bfloat16,
                 interpret=self.fused_attention == "force",
+                valid_frames=valid_frames,
             ).astype(q.dtype)
         else:
             q = softmax_kernel(q, projection, is_query=True)

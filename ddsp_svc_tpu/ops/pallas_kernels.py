@@ -432,9 +432,9 @@ ltv_fir_convolve_pallas.defvjp(_ltv_conv_vjp_fwd, _ltv_conv_vjp_bwd)
 # live set small. Inference-path only (the PCmer plumbs `infer`); training
 # keeps the XLA formulation and its full-precision gradients.
 
-def _performer_attn_kernel(q_ref, k_ref, v_ref, proj_ref, out_ref, *,
+def _performer_attn_kernel(q_ref, k_ref, v_ref, proj_ref, vf_ref, out_ref, *,
                            n_heads: int, m_real: int, eps: float,
-                           stab_eps: float, mxu_bf16: bool):
+                           stab_eps: float, mxu_bf16: bool, masked: bool):
     # refs: (1, H, d, T) q/k/v (feature-major: last dims (d, T) satisfy the
     # (8, 128) tiling); (d, m_pad) projection (pre-transposed, pre-scaled by
     # d**-0.25); out (1, H, d, T). Everything per head computes in the
@@ -445,6 +445,14 @@ def _performer_attn_kernel(q_ref, k_ref, v_ref, proj_ref, out_ref, *,
     ratio = m_real ** -0.5
     row = jax.lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0)
     valid = (row < m_real).astype(jnp.float32)
+    if masked:
+        # bucket-padding time mask: key features beyond valid_frames are
+        # zeroed so padded positions feed neither the context sums nor the
+        # denominator — identical semantics to the XLA fallback's
+        # `k * (arange(T) < valid_frames)` (nn/pcmer.py SelfAttention).
+        t = q_ref.shape[-1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+        tmask = (col < vf_ref[0, 0]).astype(jnp.float32)
     proj = proj_ref[:, :]
     for h in range(n_heads):
         q = q_ref[0, h]  # (d, T) fp32
@@ -471,6 +479,8 @@ def _performer_attn_kernel(q_ref, k_ref, v_ref, proj_ref, out_ref, *,
             + stab_eps
         ) * valid
         kf = ratio * jnp.exp(dd_k - dk + stab_eps) * valid
+        if masked:
+            kf = kf * tmask
         # context :: (m, d) = sum_t kf[:, t] v[:, t]^T
         ctx = jax.lax.dot_general(
             cast(kf), cast(v), (((1,), (1,)), ((), ())),
@@ -502,11 +512,17 @@ def performer_attention_reference(q, k, v, projection):
     jax.jit, static_argnames=("mxu_bf16", "interpret")
 )
 def performer_attention_pallas(
-    q, k, v, projection, mxu_bf16: bool = False, interpret: bool = False
+    q, k, v, projection, mxu_bf16: bool = False, interpret: bool = False,
+    valid_frames=None,
 ):
     """Fused FAVOR+ attention. q/k/v :: (B, H, T, d); projection :: (m, d).
     Returns (B, H, T, d) fp32. Requires T % 128 == 0 and d % 8 == 0 (the
-    caller transposes into the kernel's feature-major (B, H, d, T) layout)."""
+    caller transposes into the kernel's feature-major (B, H, d, T) layout).
+
+    valid_frames (traced int scalar, optional): zero the key features at
+    positions >= valid_frames — the bucket-padded inference mask (same
+    semantics as the XLA fallback path in nn/pcmer.py). Output rows beyond
+    valid_frames are meaningless, as in the fallback."""
     b, h, t, d = q.shape
     m = projection.shape[0]
     m_pad = -(-m // 128) * 128
@@ -518,9 +534,12 @@ def performer_attention_pallas(
     in_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
     pt = pt.astype(in_dtype)
     tr = lambda x: jnp.transpose(x.astype(jnp.float32), (0, 1, 3, 2))
+    masked = valid_frames is not None
+    vf = jnp.asarray(t if valid_frames is None else valid_frames,
+                     jnp.int32).reshape(1, 1)
     kernel = functools.partial(
         _performer_attn_kernel, n_heads=h, m_real=m, eps=1e-8,
-        stab_eps=1e-4, mxu_bf16=mxu_bf16,
+        stab_eps=1e-4, mxu_bf16=mxu_bf16, masked=masked,
     )
     qkv_spec = pl.BlockSpec((1, h, d, t), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -532,11 +551,13 @@ def performer_attention_pallas(
             qkv_spec, qkv_spec, qkv_spec,
             pl.BlockSpec((d, m_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, h, d, t), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(tr(q), tr(k), tr(v), pt)
+    )(tr(q), tr(k), tr(v), pt, vf)
     return jnp.transpose(out, (0, 1, 3, 2))
 
 

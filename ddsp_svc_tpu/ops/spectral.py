@@ -303,8 +303,10 @@ def log_mel_spectrogram(
     fmax: float,
     clip_val: float = 1e-5,
     mxu_bf16: bool = False,
+    keyshift: float = 0.0,
+    speed: float = 1.0,
 ) -> jnp.ndarray:
-    """NSF-HiFiGAN mel frontend (nvSTFT.get_mel parity, keyshift=0 path).
+    """NSF-HiFiGAN mel frontend (nvSTFT.get_mel parity, incl. keyshift/speed).
 
     Manual asymmetric padding then center=False STFT; log(clamp(mel, clip)).
     :: (B, T) -> (B, n_mels, n_frames)
@@ -313,7 +315,17 @@ def log_mel_spectrogram(
     accumulation) instead of the fp32 FFT: measured 22 -> ~5 ms at the
     batch-32 headline geometry for ~2^-9 relative magnitude error — the
     staged-bf16 enhancer inference configuration.
+
+    keyshift != 0 scales the analysis geometry by 2**(keyshift/12) and
+    resizes the spectrum back to n_fft//2+1 bins with a win-size amplitude
+    rescale (/root/reference/nsf_hifigan/nvSTFT.py:75-77,107-112); speed
+    scales the hop. Both are static trace-time constants.
     """
+    if keyshift != 0 or speed != 1:
+        return _log_mel_keyshift(
+            x, sr, n_fft, hop, win_length, n_mels, fmin, fmax, clip_val,
+            keyshift, speed,
+        )
     pad_l = (win_length - hop) // 2
     pad_r = max((win_length - hop + 1) // 2, hop)
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_l, pad_r)], mode="reflect")
@@ -341,6 +353,55 @@ def log_mel_spectrogram(
     else:
         spec = stft(x, n_fft, hop, win, center=False)
         mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2 + 1e-9)
+    basis = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
+    mel = jnp.einsum("mf,btf->bmt", basis, mag)
+    return jnp.log(jnp.clip(mel, clip_val, None))
+
+
+def _log_mel_keyshift(
+    x: jnp.ndarray,
+    sr: int,
+    n_fft: int,
+    hop: int,
+    win_length: int,
+    n_mels: int,
+    fmin: float,
+    fmax: float,
+    clip_val: float,
+    keyshift: float,
+    speed: float,
+) -> jnp.ndarray:
+    """keyshift/speed mel path (nvSTFT.get_mel keyshift!=0 semantics).
+
+    The analysis n_fft/win scale by 2**(keyshift/12) (rounded), the hop by
+    `speed`; the resulting spectrum is padded/truncated back to the
+    keyshift=0 bin count and rescaled by win/win_new before the (unscaled)
+    mel basis — /root/reference/nsf_hifigan/nvSTFT.py:75-77,94-112. The
+    scaled n_fft is generally not a power of two, so the transform routes
+    through the TPU-compatible DFT-matmul rfft.
+    """
+    factor = 2.0 ** (keyshift / 12.0)
+    n_fft_new = int(np.round(n_fft * factor))
+    win_new = int(np.round(win_length * factor))
+    hop_new = int(np.round(hop * speed))
+    t = x.shape[-1]
+    pad_l = (win_new - hop_new) // 2
+    pad_r = max((win_new - hop_new + 1) // 2, win_new - t - pad_l)
+    mode = "reflect" if pad_r < t else "constant"
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_l, pad_r)], mode=mode)
+    win = hann_window(win_new, dtype=x.dtype)
+    if win_new < n_fft_new:
+        lpad = (n_fft_new - win_new) // 2
+        win = jnp.pad(win, (lpad, n_fft_new - win_new - lpad))
+    frames = frame_signal(x, n_fft_new, hop_new) * win
+    spec = rfft_any(frames, n_fft_new)
+    mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2 + 1e-9)
+    if keyshift != 0:
+        size = n_fft // 2 + 1
+        bins = mag.shape[-1]
+        if bins < size:
+            mag = jnp.pad(mag, [(0, 0)] * (mag.ndim - 1) + [(0, size - bins)])
+        mag = mag[..., :size] * (win_length / win_new)
     basis = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
     mel = jnp.einsum("mf,btf->bmt", basis, mag)
     return jnp.log(jnp.clip(mel, clip_val, None))

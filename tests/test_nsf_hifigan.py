@@ -123,6 +123,48 @@ def test_mel_frontend_parity():
     np.testing.assert_allclose(got, ref, atol=2e-4)
 
 
+@pytest.mark.parametrize(
+    "keyshift,speed", [(-6, 1.0), (5, 1.0), (12, 1.0), (0, 1.5), (3, 1.25)]
+)
+def test_mel_frontend_keyshift_parity(keyshift, speed):
+    """Execute the reference nvSTFT.STFT.get_mel with keyshift!=0 / speed!=1
+    (/root/reference/nsf_hifigan/nvSTFT.py:75-77,107-112: scaled analysis
+    geometry + spectrum resize + win/win_new rescale) and match
+    log_mel_spectrogram(keyshift=..., speed=...). librosa.filters.mel is
+    stubbed with our own slaney filterbank (itself parity-tested), so the
+    mel basis is shared and the test pins the keyshift STFT semantics."""
+    import torch
+    from torch_stubs import install_pipeline_stubs
+
+    install_pipeline_stubs()
+    try:
+        from nsf_hifigan.nvSTFT import STFT as RefSTFT  # type: ignore
+    except Exception as e:
+        pytest.skip(f"reference nvSTFT not importable: {e}")
+
+    from ddsp_svc_tpu.ops import log_mel_spectrogram
+
+    sr, n_fft, hop, win, n_mels, fmin, fmax = 16000, 512, 128, 512, 16, 40, 8000
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((1, 4000)) * 0.3).astype(np.float32)
+
+    ref_stft = RefSTFT(sr=sr, n_mels=n_mels, n_fft=n_fft, win_size=win,
+                       hop_length=hop, fmin=fmin, fmax=fmax)
+    with torch.no_grad():
+        ref = ref_stft.get_mel(
+            torch.from_numpy(x), keyshift=keyshift, speed=speed
+        ).numpy()
+
+    got = np.asarray(
+        log_mel_spectrogram(
+            jnp.asarray(x), sr, n_fft, hop, win, n_mels, fmin, fmax,
+            keyshift=keyshift, speed=speed,
+        )
+    )
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
 def test_enhancer_pipeline_runs():
     from ddsp_svc_tpu.infer.enhancer import Enhancer
 

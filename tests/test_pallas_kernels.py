@@ -486,6 +486,66 @@ def test_performer_attention_kernel_matches_xla():
     )
 
 
+def test_performer_attention_kernel_masked():
+    """valid_frames masking in the fused kernel == XLA path's key-feature
+    mask; the first valid_frames output rows must agree (padded rows are
+    meaningless in both)."""
+    from ddsp_svc_tpu.ops.pallas_kernels import performer_attention_pallas
+    from ddsp_svc_tpu.nn.pcmer import (
+        gaussian_orthogonal_random_matrix, softmax_kernel, linear_attention,
+    )
+
+    rng = np.random.default_rng(23)
+    b, h, t, d, n = 2, 3, 128, 64, 77
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    proj = jnp.asarray(gaussian_orthogonal_random_matrix(266, d, seed=5))
+    qf = softmax_kernel(q, proj, is_query=True)
+    kf = softmax_kernel(k, proj, is_query=False)
+    mask = (jnp.arange(t) < n).astype(kf.dtype)
+    ref = np.asarray(linear_attention(qf, kf * mask[None, None, :, None], v))
+    got = np.asarray(performer_attention_pallas(
+        q, k, v, proj, mxu_bf16=False, interpret=True,
+        valid_frames=jnp.asarray(n, jnp.int32),
+    ))
+    scale = np.abs(ref[:, :, :n]).max() + 1e-9
+    assert np.abs(got[:, :, :n] - ref[:, :, :n]).max() / scale < 2e-5, (
+        np.abs(got[:, :, :n] - ref[:, :, :n]).max() / scale
+    )
+    # and full-length masking degenerates to the unmasked kernel
+    full = np.asarray(performer_attention_pallas(
+        q, k, v, proj, mxu_bf16=False, interpret=True,
+        valid_frames=jnp.asarray(t, jnp.int32),
+    ))
+    unmasked = np.asarray(performer_attention_pallas(
+        q, k, v, proj, mxu_bf16=False, interpret=True,
+    ))
+    np.testing.assert_allclose(full, unmasked, rtol=1e-6, atol=1e-6)
+
+
+def test_pcmer_fused_attention_valid_frames_model_path():
+    """PCmer fused path now accepts valid_frames: bucket-padded fused
+    inference must match the XLA masked fallback on the valid prefix."""
+    from ddsp_svc_tpu.nn.pcmer import PCmer
+
+    rng = np.random.default_rng(24)
+    t, n = 128, 90
+    x = jnp.asarray(rng.standard_normal((2, t, 64)).astype(np.float32))
+    vf = jnp.asarray(n, jnp.int32)
+    ref_mod = PCmer(num_layers=2, num_heads=2, dim_model=64,
+                    fused_attention=False)
+    v = ref_mod.init(jax.random.key(0), x)
+    ref = np.asarray(ref_mod.apply(v, x, infer=True, valid_frames=vf))
+    fused_mod = PCmer(num_layers=2, num_heads=2, dim_model=64,
+                      fused_attention="force")
+    got = np.asarray(fused_mod.apply(v, x, infer=True, valid_frames=vf))
+    scale = np.abs(ref[:, :n]).max() + 1e-9
+    assert np.abs(got[:, :n] - ref[:, :n]).max() / scale < 2e-5, (
+        np.abs(got[:, :n] - ref[:, :n]).max() / scale
+    )
+
+
 def test_pcmer_fused_attention_model_path():
     """PCmer with fused_attention='force' (interpret) must match the XLA
     path end-to-end through the module plumbing."""
