@@ -93,6 +93,21 @@ def latency_main(batch: int, bf16: bool, iters: int = 24):
     p50 = float(np.median(lat))
     p95 = float(np.quantile(lat, 0.95))
     window_sec = n_frames * block / sr
+
+    from ddsp_svc_tpu.utils import flops as flops_mod
+    from ddsp_svc_tpu.utils.profiling import (
+        roofline, V5E_PEAK_BF16, V5E_PEAK_FP32,
+    )
+
+    cost = flops_mod.headline_window_cost(
+        b, n_frames, block, sr, n_unit, H_NSF, bf16=bf16,
+        bf16_min_channels=128 if bf16 else 0,
+    )
+    cost.bytes += flops_mod.params_bytes(variables) + flops_mod.params_bytes(
+        nsf.variables
+    )
+    rep = roofline(p50, cost.flops, cost.bytes,
+                   peak_flops=V5E_PEAK_BF16 if bf16 else V5E_PEAK_FP32)
     print(json.dumps({
         "metric": "latency_per_window",
         "batch": b,
@@ -103,6 +118,9 @@ def latency_main(batch: int, bf16: bool, iters: int = 24):
         "p95_ms": round(1e3 * p95, 1),
         "stream_realtime_factor": round(window_sec / p50, 1),
         "throughput_rtf": round(b * window_sec / p50, 1),
+        "mxu_util": round(rep.flops_util, 3),
+        "hbm_util": round(rep.bw_util, 3),
+        "mxu_peak": "bf16" if bf16 else "fp32",
     }))
 
 
@@ -195,6 +213,26 @@ def main():
 
     audio_seconds = b * n_frames * block / sr
     rtf = audio_seconds / dt
+
+    # speed-of-light accounting (SURVEY §5): analytic FLOP/byte counters
+    # for the executed program (XLA's own cost_analysis reports 0 flops for
+    # Pallas custom calls — measured on this TPU — so the counters live in
+    # utils/flops.py and are pinned by tests/test_flops.py). The program is
+    # mixed-precision (bf16 MXU matmuls with fp32 accumulation + fp32 VPU
+    # tails), so utilization is quoted against the bf16 MXU roof — the
+    # conservative headroom number — with params+activations HBM traffic as
+    # a lower-bound estimate.
+    from ddsp_svc_tpu.utils import flops as flops_mod
+    from ddsp_svc_tpu.utils.profiling import roofline, V5E_PEAK_BF16
+
+    cost = flops_mod.headline_window_cost(
+        b, n_frames, block, sr, n_unit, H_NSF, bf16=True,
+        bf16_min_channels=128,
+    )
+    cost.bytes += flops_mod.params_bytes(variables) + flops_mod.params_bytes(
+        nsf.variables
+    )
+    rep = roofline(dt, cost.flops, cost.bytes, peak_flops=V5E_PEAK_BF16)
     print(
         json.dumps(
             {
@@ -202,6 +240,10 @@ def main():
                 "value": round(rtf, 2),
                 "unit": "audio_sec/s/chip",
                 "vs_baseline": round(rtf / 100.0, 3),
+                "mxu_util": round(rep.flops_util, 3),
+                "hbm_util": round(rep.bw_util, 3),
+                "tflops": round(cost.flops / dt / 1e12, 1),
+                "mxu_peak": "bf16",
             }
         )
     )

@@ -57,6 +57,20 @@ def main(bf16: bool = False):
 
     steps_per_s = 1.0 / dt
     audio_hours_per_hour = b * (n_frames * block / sr) * steps_per_s * 3600 / 3600
+
+    # roofline (SURVEY §5): analytic step cost — fwd + bwd + the multi-scale
+    # loss at n_scale representative draw sizes across the RSS range
+    from ddsp_svc_tpu.utils import flops as flops_mod
+    from ddsp_svc_tpu.utils.profiling import (
+        roofline, V5E_PEAK_BF16, V5E_PEAK_FP32,
+    )
+
+    cost = flops_mod.train_step_cost(
+        b, n_frames, block, n_unit, (256, 512, 1024, 2048), bf16=bf16
+    )
+    cost.bytes += 3 * flops_mod.params_bytes(state.params)  # grads + adam m,v
+    rep = roofline(dt, cost.flops, cost.bytes,
+                   peak_flops=V5E_PEAK_BF16 if bf16 else V5E_PEAK_FP32)
     print(
         json.dumps(
             {
@@ -64,6 +78,9 @@ def main(bf16: bool = False):
                 "value": round(steps_per_s, 3),
                 "unit": "steps/s (batch 24 x 2s @ 44.1kHz)",
                 "audio_sec_per_s": round(audio_hours_per_hour, 1),
+                "mxu_util": round(rep.flops_util, 3),
+                "hbm_util": round(rep.bw_util, 3),
+                "mxu_peak": "bf16" if bf16 else "fp32",
             }
         )
     )

@@ -386,7 +386,15 @@ def dio(
     """DIO + (by default) StoneMask. x :: (T,) -> (T//hop + 1,) f0 [Hz].
 
     channels_in_octave=2.0 matches the reference call
-    (/root/reference/ddsp/vocoder.py:72-73)."""
+    (/root/reference/ddsp/vocoder.py:72-73).
+
+    Note: the coarse DIO track is clipped to f0_ceil, but StoneMask's
+    instantaneous-frequency refinement may then drift slightly above it
+    (bounded at 2x the coarse estimate by _refine_if). pyworld's
+    dio+stonemask chain — what the reference actually runs — overshoots the
+    same way, so the overshoot is kept for parity; consumers that need a
+    hard f0 <= f0_ceil must clip downstream (uv_interp only clamps the
+    floor)."""
     x = np.asarray(x, np.float64)
     n_frames = int(len(x) // hop_size) + 1
     if len(x) < 16 or not np.any(np.abs(x) > 1e-8):
@@ -439,6 +447,42 @@ def dio(
 # --------------------------------------------------------------------------
 
 
+def _greedy_dedupe(
+    cands: np.ndarray, spreads: np.ndarray, max_candidates: int
+) -> np.ndarray:
+    """Per-frame greedy candidate dedupe, vectorized over frames.
+
+    For each frame: walk candidates in ascending-spread order, keep each one
+    whose log2 distance to every already-kept pick exceeds 0.04 (>3%), stop
+    at max_candidates. Equivalent to the per-frame Python loop (invalid
+    candidates — f<=0 / inf spread — sort to the tail, so skipping them
+    equals the loop's break) but runs as ~n_channels vector passes instead
+    of one Python iteration per frame: this was the only non-vectorized hot
+    spot in hours-scale preprocessing.
+    """
+    n_frames = cands.shape[0]
+    order = np.argsort(spreads, axis=1)
+    rows = np.arange(n_frames)
+    f_sorted = cands[rows[:, None], order]
+    sp_sorted = spreads[rows[:, None], order]
+    valid = (f_sorted > 0) & np.isfinite(sp_sorted)
+    logf = np.where(f_sorted > 0, np.log2(np.maximum(f_sorted, 1e-12)), 0.0)
+
+    kept = np.zeros((n_frames, max_candidates))
+    logk = np.zeros((n_frames, max_candidates))
+    count = np.zeros(n_frames, dtype=np.int64)
+    for j in range(f_sorted.shape[1]):
+        lj = logf[:, j]
+        ok = valid[:, j] & (count < max_candidates)
+        for p in range(max_candidates):
+            ok &= (count <= p) | (np.abs(lj - logk[:, p]) > 0.04)
+        idx = np.where(ok)[0]
+        kept[idx, count[idx]] = f_sorted[idx, j]
+        logk[idx, count[idx]] = lj[idx]
+        count[idx] += 1
+    return kept
+
+
 def harvest(
     x: np.ndarray,
     sr: float,
@@ -487,19 +531,7 @@ def harvest(
         spreads[:, ci] = np.where(loose, spread, np.inf)
 
     # dedupe per frame: sort by spread, greedily keep candidates >3% apart
-    order = np.argsort(spreads, axis=1)
-    kept = np.zeros((n_frames, max_candidates))
-    for t in range(n_frames):
-        picks: List[float] = []
-        for ci in order[t]:
-            f = cands[t, ci]
-            if f <= 0 or not np.isfinite(spreads[t, ci]):
-                break
-            if all(abs(math.log2(f / p)) > 0.04 for p in picks):
-                picks.append(f)
-                if len(picks) == max_candidates:
-                    break
-        kept[t, : len(picks)] = picks
+    kept = _greedy_dedupe(cands, spreads, max_candidates)
 
     # ---- refine + score every candidate column against the waveform ----
     yr, sr_r = _fft_resample(x, sr, 16000.0)

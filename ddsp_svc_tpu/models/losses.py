@@ -46,11 +46,18 @@ def sss_loss(
 
 
 def default_buckets(fft_min: int, fft_max: int, n_buckets: int = 16) -> tuple:
-    """Log-spaced static FFT-size buckets spanning [fft_min, fft_max)."""
+    """Linearly-spaced static FFT-size buckets spanning [fft_min, fft_max).
+
+    Linear spacing matches the reference's uniform integer n_fft draw
+    (loss.py:39) in distribution over scales. Measured (300-step training
+    A/B on CPU, tools/rss_bucket_experiment.py): a 16-bucket *linear* set
+    trains to the same final mel-L1 as a 48-size dense-draw proxy (0.4105
+    vs 0.4121, inside the 3.4% seed-to-seed noise floor), while the
+    earlier *log*-spaced set over-weighted small scales and landed ~7-10%
+    worse (0.440-0.456) — 2-3x the noise floor. docs/PARITY.md has the
+    full experiment table."""
     sizes = np.unique(
-        np.round(
-            np.exp(np.linspace(np.log(fft_min), np.log(fft_max - 1), n_buckets))
-        ).astype(int)
+        np.round(np.linspace(fft_min, fft_max - 1, n_buckets)).astype(int)
     )
     return tuple(int(s) for s in sizes)
 
