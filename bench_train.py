@@ -66,7 +66,8 @@ def main(bf16: bool = False):
     )
 
     cost = flops_mod.train_step_cost(
-        b, n_frames, block, n_unit, (256, 512, 1024, 2048), bf16=bf16
+        b, n_frames, block, n_unit, rss.buckets, n_scale=rss.n_scale,
+        bf16=bf16,
     )
     cost.bytes += 3 * flops_mod.params_bytes(state.params)  # grads + adam m,v
     rep = roofline(dt, cost.flops, cost.bytes,

@@ -250,19 +250,31 @@ def headline_window_cost(b: int, n_frames: int, block: int, sr: int,
 
 
 def train_step_cost(b: int, n_frames: int, block: int, n_unit: int,
-                    fft_sizes, *, bf16: bool = False) -> Cost:
+                    fft_sizes, *, n_scale: int = 4,
+                    bf16: bool = False) -> Cost:
     """One RSS training step (train/solver.py): forward + backward (~2x
     forward for the matmul/conv chain) + the multi-scale loss spectrograms
-    (forward + their gradients) + Adam update traffic."""
+    (forward + their gradients) + Adam update traffic.
+
+    fft_sizes is the static bucket set (RSSLoss.buckets); the per-step draw
+    selects n_scale of them uniformly, so the expected loss cost is
+    n_scale * mean-over-buckets."""
     fwd = combsub_cost(b, n_frames, block, n_unit=n_unit, bf16=bf16,
                        fused_spectral=bf16)
     c = 3.0 * fwd
     t_samples = b * n_frames * block
+    per_bucket = []
     for n_fft in fft_sizes:
-        rows = b * (n_frames * block // (n_fft // 4))
+        rows = b * (n_frames * block // n_fft)  # hop == n_fft (SSS loss)
         bins = _pad128(n_fft // 2 + 1)
-        # spectrogram fwd + bwd for pred and target (target fwd cached? no —
-        # recomputed per step here), DFT-matmul shapes
-        c += Cost(3 * 2 * 2.0 * rows * n_fft * bins, 4.0 * rows * n_fft)
+        # spectrogram fwd for pred+target + bwd for pred, DFT-matmul shapes
+        per_bucket.append(
+            Cost(3 * 2 * 2.0 * rows * n_fft * bins, 4.0 * rows * n_fft)
+        )
+    if per_bucket:
+        mean = Cost()
+        for pc in per_bucket:
+            mean += pc
+        c += (n_scale / len(per_bucket)) * mean
     c += elemwise(t_samples, 6)
     return c

@@ -116,8 +116,9 @@ def test_headline_cost_magnitudes():
     # the RSS train step is small-model work (b*F = 4128 PCmer tokens +
     # loss transforms): ~4e11 flops — training is not MXU-bound, which the
     # roofline output now states instead of leaving implied
-    t = F.train_step_cost(24, 172, 512, 256, (256, 512, 1024, 2048))
-    assert 1e11 < t.flops < 5e12, t.flops
+    t = F.train_step_cost(24, 172, 512, 256,
+                          (256, 512, 768, 1024, 1280, 1536, 1792, 2047))
+    assert 5e10 < t.flops < 5e12, t.flops
 
 
 def test_roofline_wiring():
