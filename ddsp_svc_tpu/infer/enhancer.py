@@ -91,6 +91,7 @@ class NsfHifiGAN:
             self._forward = lambda variables, audio, f0, ri: tp(audio, f0, ri)
         else:
             self._forward = jax.jit(self._forward_impl)
+        self._forward_batch = jax.jit(self._forward_batch_impl)
 
     def _load_torch(self, path: str):
         import torch
@@ -129,6 +130,32 @@ class NsfHifiGAN:
         mel = jnp.swapaxes(mel, 1, 2)
         f0_frames = f0_frames[:, : mel.shape[1]]
         return self.model.apply(variables, mel, f0_frames, rand_ini)
+
+    def _forward_batch_impl(self, variables, audio_prepadded, f0_frames,
+                            rand_ini, valid_frames):
+        """Mixed-length batch forward: `audio_prepadded` already carries
+        each item's own reflect padding (infer/batch.py builds it), so the
+        mel frames below each item's valid count match an exact-length
+        forward; the generator masks everything past `valid_frames` (per
+        item). Outputs beyond item i's valid_frames*upp samples are masked
+        garbage the caller crops."""
+        mel = log_mel_spectrogram(
+            audio_prepadded,
+            self.h["sampling_rate"],
+            self.h["n_fft"],
+            self.h["hop_size"],
+            self.h["win_size"],
+            self.h["num_mels"],
+            self.h["fmin"],
+            self.h["fmax"],
+            mxu_bf16=bool(self.model.bf16_min_channels)
+            or self.model.dtype == jnp.bfloat16,
+            pre_padded=True,
+        )
+        mel = jnp.swapaxes(mel, 1, 2)
+        f0_frames = f0_frames[:, : mel.shape[1]]
+        return self.model.apply(variables, mel, f0_frames, rand_ini,
+                                valid_frames=valid_frames)
 
     def __call__(self, audio: jnp.ndarray, f0_frames: jnp.ndarray,
                  rng: Optional[jax.Array] = None,
@@ -217,3 +244,106 @@ class Enhancer:
             pad = int(np.round(enhancer_sr * real_silence_front))
             enhanced = np.pad(enhanced, ((0, 0), (pad, 0)))
         return enhanced, enhancer_sr
+
+    def enhance_batch(
+        self,
+        audios,                      # list of (Ti,) / (1, Ti) arrays
+        sample_rate: int,
+        f0s,                         # list of (Fi, 1) / (1, Fi, 1) arrays
+        hop_size: int,
+        adaptive_key: float = 0,
+        rand_ini: Optional[np.ndarray] = None,   # (B, 9) or None
+        pad_to: int = 0,
+    ) -> Tuple[list, int]:
+        """Batched `enhance` for mixed-length segments at ONE resolved
+        adaptive key (the batched offline driver resolves 'auto' per
+        segment and groups segments by key — infer/batch.py). Exactness:
+        the resampler zero-pads (as each exact-length call does), the mel
+        sees each item's own host-built reflect padding, and the generator
+        masks per-item valid frames — so each returned segment equals its
+        own single-call `enhance` output. Returns ([(1, T_out_i)], sr).
+
+        pad_to: pad the batch time axis to at least this many samples —
+        the batched driver passes the synth bucket size so every chunk of
+        one bucket group reuses a single compiled program."""
+        import math
+
+        assert adaptive_key != "auto", "resolve 'auto' per item before batching"
+        h = self.enhancer.h
+        adaptive_key = float(adaptive_key)
+        adaptive_factor = 2.0 ** (-adaptive_key / 12.0)
+        adaptive_sample_rate = 100 * int(
+            np.round(self.enhancer_sample_rate / adaptive_factor / 100)
+        )
+        real_factor = self.enhancer_sample_rate / adaptive_sample_rate
+
+        b = len(audios)
+        flat = [np.asarray(a, np.float32).reshape(-1) for a in audios]
+        lens = [len(a) for a in flat]
+        t_max = max(max(lens), int(pad_to))
+        batch = np.zeros((b, t_max), np.float32)
+        for i, a in enumerate(flat):
+            batch[i, : lens[i]] = a
+
+        if sample_rate != adaptive_sample_rate:
+            res = np.asarray(resample(
+                jnp.asarray(batch), sample_rate, adaptive_sample_rate
+            ))
+            res_lens = [
+                int(math.ceil(adaptive_sample_rate * L / sample_rate))
+                for L in lens
+            ]
+        else:
+            res, res_lens = batch, lens
+
+        # per-item f0 regrid onto the enhancer frame grid (enhance() above)
+        ehop, esr = self.enhancer_hop_size, self.enhancer_sample_rate
+        win, n_fft = int(h["win_size"]), int(h["n_fft"])
+        pad_l = (win - ehop) // 2
+        pad_r = max((win - ehop + 1) // 2, ehop)
+        n_mel = [
+            (L + pad_l + pad_r - n_fft) // ehop + 1 for L in res_lens
+        ]
+        # f0 grid must span the full (pad_to-widened) mel frame count
+        f_max = (res.shape[-1] + pad_l + pad_r - n_fft) // ehop + 1
+        f0_res = np.zeros((b, f_max), np.float32)
+        for i, f0 in enumerate(f0s):
+            f0_np = np.asarray(f0, np.float32).reshape(-1) * real_factor
+            time_org = (hop_size / sample_rate) * np.arange(len(f0_np)) / real_factor
+            n_i = int(res[i].shape[-1] // ehop + 1)
+            time_frame = (ehop / esr) * np.arange(max(n_i, n_mel[i]))
+            vals = np.interp(time_frame, time_org, f0_np,
+                             left=f0_np[0], right=f0_np[-1])
+            f0_res[i, : n_mel[i]] = vals[: n_mel[i]]
+            f0_res[i, n_mel[i]:] = vals[n_mel[i] - 1]
+
+        # host-built per-item reflect padding for the mel frontend
+        buf = np.zeros((b, pad_l + res.shape[-1] + pad_r), np.float32)
+        for i in range(b):
+            seg = res[i, : res_lens[i]]
+            padded = np.pad(seg, (pad_l, pad_r), mode="reflect")
+            buf[i, : len(padded)] = padded
+
+        if rand_ini is None:
+            rand_ini = np.zeros((b, 9), np.float32)
+        out = np.asarray(self.enhancer._forward_batch(
+            self.enhancer.variables, jnp.asarray(buf),
+            jnp.asarray(f0_res), jnp.asarray(rand_ini, jnp.float32),
+            jnp.asarray(n_mel, jnp.int32),
+        ))
+        upp = out.shape[-1] // ((buf.shape[-1] - n_fft) // ehop + 1)
+        enhancer_sr = self.enhancer_sample_rate
+
+        results = []
+        if adaptive_sample_rate != enhancer_sr:
+            out_res = np.asarray(resample(
+                jnp.asarray(out), adaptive_sample_rate, enhancer_sr
+            ))
+            for i in range(b):
+                valid = n_mel[i] * upp
+                t_out = int(math.ceil(enhancer_sr * valid / adaptive_sample_rate))
+                results.append(out_res[i: i + 1, : t_out])
+        else:
+            for i in range(b):
+                results.append(out[i: i + 1, : n_mel[i] * upp])
+        return results, enhancer_sr

@@ -175,8 +175,31 @@ def make_jitted_synth(model, variables, spk_mix_dict=None, min_frames: int = 32,
     def fwd_noise_masked(units, f0, volume, spk_id, noise, valid):
         return apply(units, f0, volume, spk_id, valid, noise=noise)
 
-    def run(units, f0, volume, spk_id, rng, noise=None):
+    def run(units, f0, volume, spk_id, rng, noise=None, valid=None):
+        """valid (optional np (B,) int array): per-item true frame counts
+        for a pre-padded batch of mixed-length segments (the batched
+        offline path, infer/batch.py). The inputs must already be padded
+        to a common frame count; outputs beyond each item's valid length
+        are masked garbage the caller crops. Requires mask_padding."""
         n = units.shape[1]
+        if valid is not None:
+            assert mask_padding, "per-item valid requires mask_padding"
+            bucket = max(min_frames, 1 << (int(n) - 1).bit_length())
+            pad = bucket - n
+            if pad:
+                units = np.pad(units, ((0, 0), (0, pad), (0, 0)))
+                f0 = np.pad(f0, ((0, 0), (0, pad), (0, 0)), mode="edge")
+                volume = np.pad(volume, ((0, 0), (0, pad)))
+                if noise is not None:
+                    noise = np.pad(noise, ((0, 0), (0, pad * block)))
+            args = (
+                jnp.asarray(units), jnp.asarray(f0), jnp.asarray(volume),
+                jnp.asarray(spk_id),
+            )
+            excite = rng if noise is None else jnp.asarray(noise)
+            f = fwd_rng_masked if noise is None else fwd_noise_masked
+            out = f(*args, excite, jnp.asarray(valid, dtype=jnp.int32))
+            return np.asarray(out)
         bucket = max(min_frames, 1 << (int(n) - 1).bit_length())
         pad = bucket - n
         if pad:

@@ -111,9 +111,13 @@ class Sins(nn.Module):
             harmonic_chunk=max_upsample_dim,
         )
         if valid_frames is not None:
-            smask = (
-                jnp.arange(sinusoids.shape[-1]) < valid_frames * self.block_size
-            ).astype(sinusoids.dtype)[None, :]
+            from ..ops.masking import frame_mask
+
+            smask = frame_mask(
+                sinusoids.shape[-1],
+                jnp.asarray(valid_frames) * self.block_size,
+                sinusoids.dtype,
+            )
             sinusoids = sinusoids * smask
 
         # harmonic all-pass (predicted group delay)
@@ -213,11 +217,14 @@ class CombSubFast(nn.Module):
                                    dtype=tooth.dtype) * 2.0 - 1.0
             )
         if valid_frames is not None:
-            # zero excitations beyond the true length: the first padded
-            # frame then windows [tail audio, zeros] with the replicated
-            # last filter — exactly the reference's own tail frame
-            smask = (jnp.arange(tooth.shape[-1]) < valid_frames * bs).astype(
-                tooth.dtype)[None, :]
+            # zero excitations beyond each item's true length: the first
+            # padded frame then windows [tail audio, zeros] with the
+            # replicated last filter — exactly the reference's own tail frame
+            from ..ops.masking import frame_mask
+
+            smask = frame_mask(
+                tooth.shape[-1], jnp.asarray(valid_frames) * bs, tooth.dtype
+            )
             tooth = tooth * smask
             noise = noise * smask
 
@@ -335,8 +342,11 @@ class CombSub(nn.Module):
         tooth = combtooth_op(rot, f0, self.sampling_rate, zero_unvoiced=False)
         smask = None
         if valid_frames is not None:
-            smask = (jnp.arange(tooth.shape[-1]) < valid_frames * bs).astype(
-                tooth.dtype)[None, :]
+            from ..ops.masking import frame_mask
+
+            smask = frame_mask(
+                tooth.shape[-1], jnp.asarray(valid_frames) * bs, tooth.dtype
+            )
             tooth = tooth * smask
         harmonic = frequency_filter(
             tooth,

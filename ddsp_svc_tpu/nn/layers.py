@@ -50,9 +50,10 @@ class GroupNorm(nn.Module):
     """torch.nn.GroupNorm parity on (B, T, C): normalize per channel group
     over (T, C//G), affine per channel. eps=1e-5.
 
-    `valid_frames` (traced scalar) restricts the statistics to the first N
-    frames — bucket-padded inference then computes exactly the stats the
-    reference computes at the segment's true length."""
+    `valid_frames` (traced scalar or per-item (B,) vector) restricts the
+    statistics to each segment's first N frames — bucket-padded inference
+    then computes exactly the stats the reference computes at the segment's
+    true length."""
 
     num_groups: int
     epsilon: float = 1e-5
@@ -68,8 +69,12 @@ class GroupNorm(nn.Module):
             mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
             var = jnp.mean((xg - mean) ** 2, axis=(1, 3), keepdims=True)
         else:
-            m = (jnp.arange(t) < valid_frames).astype(x.dtype)[None, :, None, None]
-            denom = valid_frames.astype(x.dtype) * (c // g)
+            from ..ops.masking import frame_mask, valid_col
+
+            m = frame_mask(t, valid_frames, x.dtype)[:, :, None, None]
+            denom = (
+                valid_col(valid_frames, x.dtype)[:, :, None, None] * (c // g)
+            )
             mean = jnp.sum(xg * m, axis=(1, 3), keepdims=True) / denom
             var = jnp.sum(((xg - mean) * m) ** 2, axis=(1, 3), keepdims=True) / denom
         xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)

@@ -141,7 +141,11 @@ class ResBlock1(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask=None) -> jnp.ndarray:
+        """mask :: optional (B?, T, 1) 0/1 valid-sample mask (bucket-padded
+        batches). Re-applied after every conv so the pad region stays zero —
+        each conv then sees exactly the zero padding an exact-length forward
+        provides at its boundary, keeping valid outputs bit-consistent."""
         for i, d in enumerate(self.dilation):
             pad = (self.kernel_size * d - d) // 2
             xt = _leaky(x)
@@ -149,12 +153,16 @@ class ResBlock1(nn.Module):
                 self.channels, (self.kernel_size,), kernel_dilation=(d,),
                 padding=((pad, pad),), name=f"conv1_{i}", dtype=self.dtype,
             )(xt)
+            if mask is not None:
+                xt = xt * mask
             xt = _leaky(xt)
             pad1 = (self.kernel_size - 1) // 2
             xt = nn.Conv(
                 self.channels, (self.kernel_size,),
                 padding=((pad1, pad1),), name=f"conv2_{i}", dtype=self.dtype,
             )(xt)
+            if mask is not None:
+                xt = xt * mask
             x = xt + x
         return x
 
@@ -237,11 +245,37 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(
-        self, mel: jnp.ndarray, f0_frames: jnp.ndarray, rand_ini: jnp.ndarray
+        self, mel: jnp.ndarray, f0_frames: jnp.ndarray, rand_ini: jnp.ndarray,
+        valid_frames=None,
     ) -> jnp.ndarray:
         """mel :: (B, F, num_mels); f0_frames :: (B, F); rand_ini :: (B, 9).
-        Returns (B, F*prod(upsample_rates))."""
+        Returns (B, F*prod(upsample_rates)).
+
+        valid_frames (traced scalar or per-item (B,) vector): true mel-frame
+        counts for bucket-padded batches. Inputs and every stage boundary
+        are re-masked to zero past each item's valid length, so every conv
+        sees exactly the zero padding an exact-length forward provides —
+        the first valid_frames*upp output samples equal a per-item
+        exact-length forward (the batched offline path, infer/batch.py).
+        Masked calls run the XLA resblock path (the fused trio kernel keeps
+        pad-region values live inside its VMEM chain)."""
         upp = int(np.prod(self.upsample_rates))
+        _mask = None
+        if valid_frames is not None:
+            from ..ops.masking import frame_mask
+
+            vf = jnp.asarray(valid_frames)
+            f_in = mel.shape[1]
+            _cache = {}
+
+            def _mask(scale):
+                if scale not in _cache:
+                    _cache[scale] = frame_mask(
+                        f_in * scale, vf * scale, jnp.float32
+                    )[:, :, None]
+                return _cache[scale]
+
+            mel = mel * frame_mask(f_in, vf, mel.dtype)[:, :, None]
         # sine source stays fp32: phase accuracy matters. The Dense(9->1)
         # module is materialized once for its params; compute runs through
         # the reduce-before-reshape formulation (harmonic_source_fused).
@@ -252,6 +286,8 @@ class Generator(nn.Module):
             f0_frames, upp, self.sampling_rate, rand_ini,
             p_lin["kernel"][:, 0], p_lin["bias"][0],
         )  # (B, T, 1)
+        if _mask is not None:
+            har = har * _mask(upp).astype(har.dtype)
         if self.dtype is not None:
             har = har.astype(self.dtype)
             mel = mel.astype(self.dtype)
@@ -260,11 +296,15 @@ class Generator(nn.Module):
             self.upsample_initial_channel, (7,), padding=((3, 3),),
             name="conv_pre", dtype=self.dtype,
         )(mel)
+        if _mask is not None:
+            x = x * _mask(1).astype(x.dtype)
         n_up = len(self.upsample_rates)
         n_kernels = len(self.resblock_kernel_sizes)
+        cum = 1
         for i, (u, k) in enumerate(
             zip(self.upsample_rates, self.upsample_kernel_sizes)
         ):
+            cum *= u
             ch = self.upsample_initial_channel // (2 ** (i + 1))
             stage_dtype = self.dtype
             if self.bf16_min_channels:
@@ -299,8 +339,9 @@ class Generator(nn.Module):
                         self.resblock_dilation_sizes)
                 )
             ]
-            if self._use_fused(ch, stage_dtype) and self._stage_fusable(
-                x.shape[-1], u, k, stage_dtype
+            if _mask is None and (
+                self._use_fused(ch, stage_dtype)
+                and self._stage_fusable(x.shape[-1], u, k, stage_dtype)
             ):
                 x = self._fused_stage(
                     up_mod, nc_mod, rbs, x, har, i, ch, u, k, stride_f0
@@ -309,7 +350,9 @@ class Generator(nn.Module):
                 continue
             x = _leaky(x)
             x = up_mod(x)
-            if self._use_fused(ch, stage_dtype):
+            if _mask is not None:
+                x = x * _mask(cum).astype(x.dtype)
+            if _mask is None and self._use_fused(ch, stage_dtype):
                 if self.fused_inject:
                     # f0-source injection folded into the trio kernel (the
                     # nc output and the add never round-trip HBM)
@@ -322,16 +365,26 @@ class Generator(nn.Module):
             else:
                 xs_src = nc_mod(har)
                 x = x + xs_src[:, : x.shape[1], :]
+                stage_mask = None
+                if _mask is not None:
+                    stage_mask = _mask(cum).astype(x.dtype)
+                    x = x * stage_mask
                 xs = None
                 for r in rbs:
-                    r_out = r(x)
+                    r_out = r(x, mask=stage_mask)
                     xs = r_out if xs is None else xs + r_out
                 x = xs / n_kernels
             x = self._finish_stage(x, i, n_up, stage_dtype)
         x = _leaky(x, 0.01)  # final leaky_relu uses torch default slope (models.py:272)
         x = nn.Conv(1, (7,), padding=((3, 3),), name="conv_post",
                     dtype=self.dtype)(x)
-        return jnp.tanh(x.astype(jnp.float32))[..., 0]
+        out = jnp.tanh(x.astype(jnp.float32))[..., 0]
+        if _mask is not None:
+            # zero the pad region outright (conv_post's bias makes it a
+            # nonzero constant otherwise) so downstream batched resampling
+            # sees exactly the zeros an exact-length output implies
+            out = out * _mask(upp)[..., 0]
+        return out
 
     def _use_fused(self, ch: int, stage_dtype) -> bool:
         if not self.fused_resblocks:

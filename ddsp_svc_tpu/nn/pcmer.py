@@ -198,10 +198,11 @@ class SelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, infer: bool = False,
                  valid_frames=None) -> jnp.ndarray:
-        """valid_frames (traced scalar): mask key features beyond the first
-        N frames so bucket-padded inference attends exactly as the reference
-        does at the segment's true length (pad keys contribute to neither the
-        numerator k'v sums nor the denominator k' sums)."""
+        """valid_frames (traced scalar or per-item (B,) vector): mask key
+        features beyond each segment's first N frames so bucket-padded
+        inference attends exactly as the reference does at the true length
+        (pad keys contribute to neither the numerator k'v sums nor the
+        denominator k' sums)."""
         in_dtype = x.dtype
         inner = self.dim_head * self.heads
         nb_features = int(self.dim_head * math.log(self.dim_head))
@@ -239,8 +240,10 @@ class SelfAttention(nn.Module):
             q = softmax_kernel(q, projection, is_query=True)
             k = softmax_kernel(k, projection, is_query=False)
             if valid_frames is not None:
-                mask = (jnp.arange(k.shape[2]) < valid_frames).astype(k.dtype)
-                k = k * mask[None, None, :, None]
+                from ..ops.masking import frame_mask
+
+                mask = frame_mask(k.shape[2], valid_frames, k.dtype)
+                k = k * mask[:, None, :, None]
             if self.causal:
                 out = causal_linear_attention(q, k, v)
             else:
@@ -286,8 +289,10 @@ class ConformerConvModule(nn.Module):
         if valid_frames is not None:
             # zero pad frames so the depthwise conv sees exactly the zeros
             # the reference's own boundary padding provides at true length
-            mask = (jnp.arange(x.shape[1]) < valid_frames).astype(x.dtype)
-            x = x * mask[None, :, None]
+            from ..ops.masking import frame_mask
+
+            mask = frame_mask(x.shape[1], valid_frames, x.dtype)
+            x = x * mask[:, :, None]
         x = Conv1d(
             inner, self.kernel_size, causal=self.causal, groups=inner,
             dtype=self.compute_dtype,

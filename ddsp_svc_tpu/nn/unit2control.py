@@ -64,20 +64,23 @@ class Unit2Control(nn.Module):
             volume :: (B, Frame)       - frame RMS
             spk_id :: (B,)             - 1-based speaker index
             spk_mix_dict - {speaker_id: weight} static mixing dict
-            valid_frames - traced scalar: the true segment length when the
-                inputs are bucket-padded. Statistics/attention/convolutions
-                are masked so the first `valid_frames` outputs equal an
+            valid_frames - traced scalar (whole-batch true length) or (B,)
+                vector (per-item true lengths) when the inputs are
+                bucket-padded. Statistics/attention/convolutions are masked
+                so each item's first `valid_frames` outputs equal an
                 exact-length forward, and the padded tail is replaced by an
                 edge-replication of the last valid control frame (the shape
                 the reference's own "repeat last filter frame" tail expects).
         Returns:
             dict of (B, Frame, size) control series
         """
+        from ..ops.masking import frame_mask, valid_col
+
         d = self.ndim_feat
         fmask = None
         if valid_frames is not None:
-            fmask = (jnp.arange(units.shape[1]) < valid_frames).astype(
-                units.dtype)[None, :, None]
+            fmask = frame_mask(units.shape[1], valid_frames,
+                               units.dtype)[:, :, None]
             units = units * fmask
 
         # PreNet
@@ -124,7 +127,11 @@ class Unit2Control(nn.Module):
         ndim_out = sum(self.output_splits.values())
         e = WeightNormDense(ndim_out, name="dense_out")(x)
         if valid_frames is not None:
-            # edge-replicate the last valid control frame over the pad tail
-            idx = jnp.minimum(jnp.arange(e.shape[1]), valid_frames - 1)
-            e = jnp.take(e, idx, axis=1)
+            # edge-replicate each item's last valid control frame over its
+            # pad tail
+            idx = jnp.minimum(
+                jnp.arange(e.shape[1])[None, :],
+                valid_col(valid_frames, jnp.int32) - 1,
+            )
+            e = jnp.take_along_axis(e, idx[:, :, None], axis=1)
         return split_to_dict(e, self.output_splits)

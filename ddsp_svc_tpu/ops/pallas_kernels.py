@@ -519,10 +519,11 @@ def performer_attention_pallas(
     Returns (B, H, T, d) fp32. Requires T % 128 == 0 and d % 8 == 0 (the
     caller transposes into the kernel's feature-major (B, H, d, T) layout).
 
-    valid_frames (traced int scalar, optional): zero the key features at
-    positions >= valid_frames — the bucket-padded inference mask (same
-    semantics as the XLA fallback path in nn/pcmer.py). Output rows beyond
-    valid_frames are meaningless, as in the fallback."""
+    valid_frames (traced int scalar or per-item (B,) vector, optional):
+    zero the key features at positions >= valid_frames — the bucket-padded
+    inference mask (same semantics as the XLA fallback path in
+    nn/pcmer.py). Each batch row's program reads its own length from SMEM.
+    Output rows beyond valid_frames are meaningless, as in the fallback."""
     b, h, t, d = q.shape
     m = projection.shape[0]
     m_pad = -(-m // 128) * 128
@@ -535,8 +536,11 @@ def performer_attention_pallas(
     pt = pt.astype(in_dtype)
     tr = lambda x: jnp.transpose(x.astype(jnp.float32), (0, 1, 3, 2))
     masked = valid_frames is not None
-    vf = jnp.asarray(t if valid_frames is None else valid_frames,
-                     jnp.int32).reshape(1, 1)
+    vf = jnp.broadcast_to(
+        jnp.asarray(t if valid_frames is None else valid_frames,
+                    jnp.int32).reshape(-1, 1),
+        (b, 1),
+    )
     kernel = functools.partial(
         _performer_attn_kernel, n_heads=h, m_real=m, eps=1e-8,
         stab_eps=1e-4, mxu_bf16=mxu_bf16, masked=masked,
@@ -551,7 +555,7 @@ def performer_attention_pallas(
             qkv_spec, qkv_spec, qkv_spec,
             pl.BlockSpec((d, m_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, h, d, t), lambda i: (i, 0, 0, 0),

@@ -305,6 +305,7 @@ def log_mel_spectrogram(
     mxu_bf16: bool = False,
     keyshift: float = 0.0,
     speed: float = 1.0,
+    pre_padded: bool = False,
 ) -> jnp.ndarray:
     """NSF-HiFiGAN mel frontend (nvSTFT.get_mel parity, incl. keyshift/speed).
 
@@ -326,9 +327,15 @@ def log_mel_spectrogram(
             x, sr, n_fft, hop, win_length, n_mels, fmin, fmax, clip_val,
             keyshift, speed,
         )
-    pad_l = (win_length - hop) // 2
-    pad_r = max((win_length - hop + 1) // 2, hop)
-    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_l, pad_r)], mode="reflect")
+    if not pre_padded:
+        pad_l = (win_length - hop) // 2
+        pad_r = max((win_length - hop + 1) // 2, hop)
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_l, pad_r)],
+                    mode="reflect")
+    # pre_padded=True: the caller already applied the (pad_l, pad_r) reflect
+    # padding — the batched path pads PER ITEM on host so each segment of a
+    # mixed-length batch sees its own reflection (mel_reflect_pad_batch in
+    # infer/batch.py), not the buffer tail's zeros.
     win = hann_window(win_length, dtype=x.dtype)
     # the TPU FFT op only exists for power-of-2 sizes; route others through
     # the MXU DFT kernel. (For pow2 sizes the fp32 FFT op beats the fp32

@@ -524,6 +524,33 @@ def test_performer_attention_kernel_masked():
     np.testing.assert_allclose(full, unmasked, rtol=1e-6, atol=1e-6)
 
 
+def test_performer_attention_kernel_masked_vector():
+    """Per-item (B,) valid_frames vector: each batch row's program reads its
+    own length from SMEM; rows must match per-row scalar-masked calls."""
+    from ddsp_svc_tpu.ops.pallas_kernels import performer_attention_pallas
+    from ddsp_svc_tpu.nn.pcmer import gaussian_orthogonal_random_matrix
+
+    rng = np.random.default_rng(29)
+    b, h, t, d = 3, 2, 128, 64
+    lengths = [128, 90, 37]
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    proj = jnp.asarray(gaussian_orthogonal_random_matrix(266, d, seed=7))
+    got = np.asarray(performer_attention_pallas(
+        q, k, v, proj, interpret=True,
+        valid_frames=jnp.asarray(lengths, jnp.int32),
+    ))
+    for i, n in enumerate(lengths):
+        ref = np.asarray(performer_attention_pallas(
+            q[i:i+1], k[i:i+1], v[i:i+1], proj, interpret=True,
+            valid_frames=jnp.asarray(n, jnp.int32),
+        ))[0]
+        scale = np.abs(ref[:, :n]).max() + 1e-9
+        err = np.abs(got[i, :, :n] - ref[:, :n]).max() / scale
+        assert err < 1e-6, (i, n, err)
+
+
 def test_pcmer_fused_attention_valid_frames_model_path():
     """PCmer fused path now accepts valid_frames: bucket-padded fused
     inference must match the XLA masked fallback on the valid prefix."""
