@@ -446,13 +446,15 @@ def _performer_attn_kernel(q_ref, k_ref, v_ref, proj_ref, vf_ref, out_ref, *,
     row = jax.lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0)
     valid = (row < m_real).astype(jnp.float32)
     if masked:
-        # bucket-padding time mask: key features beyond valid_frames are
-        # zeroed so padded positions feed neither the context sums nor the
-        # denominator — identical semantics to the XLA fallback's
-        # `k * (arange(T) < valid_frames)` (nn/pcmer.py SelfAttention).
+        # bucket-padding time mask: key features beyond this row's
+        # valid_frames are zeroed so padded positions feed neither the
+        # context sums nor the denominator — identical semantics to the XLA
+        # fallback's `k * (arange(T) < valid_frames)` (nn/pcmer.py). The
+        # (B, 1) lengths array sits whole in SMEM (Mosaic requires full-dim
+        # SMEM blocks); each program reads its own row.
         t = q_ref.shape[-1]
         col = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
-        tmask = (col < vf_ref[0, 0]).astype(jnp.float32)
+        tmask = (col < vf_ref[pl.program_id(0), 0]).astype(jnp.float32)
     proj = proj_ref[:, :]
     for h in range(n_heads):
         q = q_ref[0, h]  # (d, T) fp32
@@ -555,7 +557,7 @@ def performer_attention_pallas(
             qkv_spec, qkv_spec, qkv_spec,
             pl.BlockSpec((d, m_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            pl.BlockSpec((b, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, h, d, t), lambda i: (i, 0, 0, 0),

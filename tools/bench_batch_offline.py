@@ -10,6 +10,13 @@ F0 runs once into a shared cache before timing (host-side, identical in
 both paths). Timed region: units encode + synth + enhance + stitch.
 
 Run on TPU:  python tools/bench_batch_offline.py [--files 8] [--batch 8]
+
+Measured (v5e through the remote relay, 8 files x 5.8 s, batch 8, -e true):
+single-file loop 403 s vs batched 60.5 s => **6.7x** user-visible speedup.
+Note the absolute wall times are relay-environment artifacts — each
+run_inference call rebuilds its jit closures (re-trace + relay fetch per
+program), which the batched path pays once per bucket group instead of per
+file; on-chip steady-state throughput is bench.py's 1399x realtime.
 """
 import argparse
 import json
