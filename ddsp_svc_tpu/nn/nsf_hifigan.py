@@ -257,8 +257,10 @@ class Generator(nn.Module):
         sees exactly the zero padding an exact-length forward provides —
         the first valid_frames*upp output samples equal a per-item
         exact-length forward (the batched offline path, infer/batch.py).
-        Masked calls run the XLA resblock path (the fused trio kernel keeps
-        pad-region values live inside its VMEM chain)."""
+        The fused trio kernel participates: its per-conv boundary mask
+        tightens to each row's valid length (per-row SMEM counts), so
+        masked batches keep the VMEM-resident trio path. The fused *stage*
+        variant (upsample fold) stays excluded under masking."""
         upp = int(np.prod(self.upsample_rates))
         _mask = None
         if valid_frames is not None:
@@ -352,16 +354,24 @@ class Generator(nn.Module):
             x = up_mod(x)
             if _mask is not None:
                 x = x * _mask(cum).astype(x.dtype)
-            if _mask is None and self._use_fused(ch, stage_dtype):
+            if self._use_fused(ch, stage_dtype):
+                # per-row valid sample counts ride into the kernel's
+                # boundary mask (bucket-padded batches); None otherwise
+                vsamp = None if _mask is None else vf * cum
                 if self.fused_inject:
                     # f0-source injection folded into the trio kernel (the
                     # nc output and the add never round-trip HBM)
                     x = self._fused_trio(rbs, x, i, ch, nc_mod=nc_mod,
-                                         har=har, stride_f0=stride_f0)
+                                         har=har, stride_f0=stride_f0,
+                                         valid=vsamp)
                 else:
                     xs_src = nc_mod(har)
                     x = x + xs_src[:, : x.shape[1], :]
-                    x = self._fused_trio(rbs, x, i, ch)
+                    if _mask is not None:
+                        x = x * _mask(cum).astype(x.dtype)
+                    x = self._fused_trio(rbs, x, i, ch, valid=vsamp)
+                if _mask is not None:
+                    x = x * _mask(cum).astype(x.dtype)
             else:
                 xs_src = nc_mod(har)
                 x = x + xs_src[:, : x.shape[1], :]
@@ -476,15 +486,20 @@ class Generator(nn.Module):
         )
 
     def _fused_trio(self, rbs, x, i: int, ch: int, nc_mod=None, har=None,
-                    stride_f0: int = 1) -> jnp.ndarray:
+                    stride_f0: int = 1, valid=None) -> jnp.ndarray:
         """Run the stage's resblock trio as one VMEM-resident Pallas pass,
         with the f0-source injection conv folded in when nc_mod is given.
 
         The flax modules are still invoked once on a dummy frame so the
         parameter tree (and checkpoint format) is identical to the unfused
-        path; the real compute reads those params directly."""
+        path; the real compute reads those params directly.
+
+        valid (traced scalar or (B,) vector, sample counts at this stage's
+        rate): per-row masking for bucket-padded batches — routes to the
+        kernel's forward impl directly (inference-only, no VJP)."""
         from ..ops.pallas_kernels import (
             fused_resblocks_pallas, fused_resblocks_inject_pallas,
+            _fused_resblocks_fwd_impl,
         )
 
         dummy = jnp.zeros((1, 1, ch), x.dtype)
@@ -511,10 +526,22 @@ class Generator(nn.Module):
         interp = jax.default_backend() in ("cpu", "gpu")
         if nc_mod is not None:
             nc_p = pv[f"noise_conv_{i}"]
+            if valid is not None:
+                return _fused_resblocks_fwd_impl(
+                    x, tuple(ws), tuple(bs), ks, dils, None,
+                    self.fused_mxu_bf16, interp,
+                    inject=(har, nc_p["kernel"], nc_p["bias"], stride_f0),
+                    valid=valid,
+                )
             return fused_resblocks_inject_pallas(
                 x, har, nc_p["kernel"], nc_p["bias"], *ws, *bs,
                 stride_f0, kernel_sizes=ks, dilations=dils, tile=None,
                 mxu_bf16=self.fused_mxu_bf16, interpret=interp,
+            )
+        if valid is not None:
+            return _fused_resblocks_fwd_impl(
+                x, tuple(ws), tuple(bs), ks, dils, None,
+                self.fused_mxu_bf16, interp, valid=valid,
             )
         return fused_resblocks_pallas(
             x, *ws, *bs,

@@ -995,7 +995,7 @@ def _trio_chain(x, mask, w_refs, b_refs, kernel_sizes, dilations, mxu_bf16,
 def _fused_rb_kernel(
     *refs,
     kernel_sizes, dilations, mxu_bf16, n_tiles, tile, seq_len,
-    roll_im2col, split=1, inject=False, ksrc=0, c_out=0,
+    roll_im2col, split=1, inject=False, ksrc=0, c_out=0, masked=False,
 ):
     n_rb = len(kernel_sizes)
     base = 0
@@ -1005,7 +1005,17 @@ def _fused_rb_kernel(
     x_ref = refs[0]
     w_refs = refs[1 + base : 1 + base + n_rb]
     b_refs = refs[1 + base + n_rb : 1 + base + 2 * n_rb]
-    out_ref = refs[1 + base + 2 * n_rb]
+    if masked:
+        # per-row valid sample counts (B, 1) in SMEM — bucket-padded
+        # batches: the existing per-conv boundary mask (g < limit) simply
+        # tightens from the buffer length to this row's true length,
+        # giving each conv the exact-length zero padding semantics
+        valid_ref = refs[1 + base + 2 * n_rb]
+        out_ref = refs[2 + base + 2 * n_rb]
+        limit = valid_ref[pl.program_id(0) // n_tiles, 0]
+    else:
+        out_ref = refs[1 + base + 2 * n_rb]
+        limit = seq_len
     x = x_ref[0]  # (C, W) fp32
     if inject:
         # f0-source injection conv, pre-im2col'd at output rate in XLA:
@@ -1027,7 +1037,7 @@ def _fused_rb_kernel(
             jax.lax.broadcasted_iota(jnp.int32, (1, xs.shape[1]), 1)
             + tile_idx * tile + si * sub - _RB_HALO
         )
-        mask = ((g >= 0) & (g < seq_len)).astype(x.dtype)
+        mask = ((g >= 0) & (g < limit)).astype(x.dtype)
         acc = _trio_chain(xs, mask, w_refs, b_refs, kernel_sizes, dilations,
                           mxu_bf16, roll_im2col)
         out_ref[0, :, si * sub : (si + 1) * sub] = acc[:, _RB_HALO:-_RB_HALO]
@@ -1062,8 +1072,13 @@ def resblocks_reference(x, weights, biases, kernel_sizes, dilations):
 
 def _fused_resblocks_fwd_impl(
     x, weights, biases, kernel_sizes, dilations, tile, mxu_bf16, interpret,
-    split=1, inject=None,
+    split=1, inject=None, valid=None,
 ):
+    """valid (optional traced scalar or (B,) vector, SAMPLE counts at this
+    stage's rate): per-row true lengths for bucket-padded batches. The
+    kernel's per-conv boundary mask tightens to each row's length, so valid
+    outputs equal an exact-length forward (inference-only; the custom-VJP
+    wrappers below never pass it)."""
     b, t, c = x.shape
     if tile is None:
         # larger tiles at narrow C amortize per-program fixed costs (DMA
@@ -1140,13 +1155,20 @@ def _fused_resblocks_fwd_impl(
 
     if tile % (split * 128) != 0:
         split = 1
+    valid_in, valid_specs = [], []
+    if valid is not None:
+        valid_in = [jnp.broadcast_to(
+            jnp.asarray(valid, jnp.int32).reshape(-1, 1), (b, 1)
+        )]
+        valid_specs = [pl.BlockSpec((b, 1), lambda r: (0, 0),
+                                    memory_space=pltpu.SMEM)]
     kernel = functools.partial(
         _fused_rb_kernel, kernel_sizes=kernel_sizes, dilations=dilations,
         mxu_bf16=mxu_bf16, n_tiles=n_tiles, tile=tile, seq_len=t,
         # pltpu.roll has no interpret lowering; _PER_TAP forces the
         # per-tap-dot path for A/B experiments
         roll_im2col=not interpret and not _PER_TAP,
-        split=split, **inj_kw,
+        split=split, masked=valid is not None, **inj_kw,
     )
     full = lambda arr: pl.BlockSpec(
         arr.shape, lambda r: (0,) * arr.ndim, memory_space=pltpu.VMEM
@@ -1160,11 +1182,12 @@ def _fused_resblocks_fwd_impl(
                           memory_space=pltpu.VMEM)]
             + inj_specs
             + [full(a) for a in w_in] + [full(a) for a in b_in]
+            + valid_specs
         ),
         out_specs=pl.BlockSpec((1, c, tile), lambda r: (r, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(tiles, *inj_in, *w_in, *b_in)
+    )(tiles, *inj_in, *w_in, *b_in, *valid_in)
     out = out.reshape(b, n_tiles, c, tile).transpose(0, 1, 3, 2)
     return out.reshape(b, t_pad, c)[:, :t].astype(x.dtype)
 

@@ -63,6 +63,40 @@ GEN_H = dict(
 )
 
 
+def test_generator_per_item_valid_fused_trio():
+    """Masked batches keep the fused Pallas trio: its per-conv boundary
+    mask tightens to per-row SMEM lengths; valid outputs must match the
+    plain per-item exact-length forward (both injection modes)."""
+    from ddsp_svc_tpu.nn.nsf_hifigan import Generator
+
+    rng = np.random.default_rng(2)
+    b, f, upp = 3, 24, 128
+    lengths = [24, 17, 9]
+    mel = rng.standard_normal((b, f, 16)).astype(np.float32)
+    f0 = (150.0 + 100.0 * rng.random((b, f))).astype(np.float32)
+    ri = rng.uniform(0, 1, (b, 9)).astype(np.float32)
+    ri[:, 0] = 0
+    plain = Generator(fused_resblocks=False, **GEN_H)
+    v = plain.init(jax.random.key(0), jnp.asarray(mel), jnp.asarray(f0),
+                   jnp.asarray(ri))
+    for inject in (True, False):
+        fused = Generator(fused_resblocks="force", fused_mxu_bf16=False,
+                          fused_inject=inject, **GEN_H)
+        out_b = np.asarray(fused.apply(
+            v, jnp.asarray(mel), jnp.asarray(f0), jnp.asarray(ri),
+            valid_frames=jnp.asarray(lengths, jnp.int32),
+        ))
+        for i, n in enumerate(lengths):
+            oi = np.asarray(plain.apply(
+                v, jnp.asarray(mel[i:i+1, :n]), jnp.asarray(f0[i:i+1, :n]),
+                jnp.asarray(ri[i:i+1]),
+            ))[0]
+            err = np.abs(out_b[i, :n*upp] - oi).max() / (np.abs(oi).max() + 1e-9)
+            assert err < 1e-4, (inject, i, n, err)
+            if n < f:
+                assert np.abs(out_b[i, n*upp:]).max() == 0.0
+
+
 @pytest.mark.parametrize("bf16_min", [0, 16])
 def test_generator_per_item_valid_vector(bf16_min):
     from ddsp_svc_tpu.nn.nsf_hifigan import Generator

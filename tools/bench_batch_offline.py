@@ -12,7 +12,9 @@ both paths). Timed region: units encode + synth + enhance + stitch.
 Run on TPU:  python tools/bench_batch_offline.py [--files 8] [--batch 8]
 
 Measured (v5e through the remote relay, 8 files x 5.8 s, batch 8, -e true):
-single-file loop 403 s vs batched 60.5 s => **6.7x** user-visible speedup.
+single-file loop ~400 s vs batched 46.2 s => **8.1x** user-visible speedup
+(60.5 s / 6.7x before the masked fused trio kernels — the per-row SMEM
+length mask keeps the VMEM-resident trios on the batched path, -24%).
 Note the absolute wall times are relay-environment artifacts — each
 run_inference call rebuilds its jit closures (re-trace + relay fetch per
 program), which the batched path pays once per bucket group instead of per
