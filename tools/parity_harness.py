@@ -25,6 +25,14 @@ sys.path.insert(1, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 def main():
+    # test drills force the CPU backend (the axon sitecustomize pins the
+    # TPU tunnel, which plain JAX_PLATFORMS cannot override)
+    if os.environ.get("DDSP_HARNESS_PLATFORM"):
+        import jax
+
+        jax.config.update(
+            "jax_platforms", os.environ["DDSP_HARNESS_PLATFORM"]
+        )
     p = argparse.ArgumentParser()
     p.add_argument("-i", "--input", default="/root/reference/samples/source.wav")
     p.add_argument("-c", "--checkpoint", default=None,
