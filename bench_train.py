@@ -15,12 +15,13 @@ import time
 import numpy as np
 
 
-def main(bf16: bool = False):
+def main(bf16: bool = False, steps_per_dispatch: int = 1):
     import jax
 
     from ddsp_svc_tpu.models import CombSubFast, RSSLoss
     from ddsp_svc_tpu.train import (
         create_optimizer, create_train_state, make_train_step,
+        make_train_step_multi,
     )
 
     sr, block, n_unit, b = 44100, 512, 256, 24
@@ -39,21 +40,38 @@ def main(bf16: bool = False):
     )
     optimizer = create_optimizer(5e-4)
     rss = RSSLoss(256, 2048, n_scale=4, n_buckets=8)
-    step = make_train_step(model, rss, optimizer)
     state = create_train_state(model, optimizer, batch, jax.random.key(0))
-
     rng_key = jax.random.key(1)
-    state, loss = step(state, batch, rng_key)
-    _ = float(loss)  # compile + warmup with forced readback
 
-    n_iters = 20
-    st = time.perf_counter()
-    for i in range(n_iters):
-        # vary one input so the execution relay can't serve cached results
-        batch["volume"] = batch["volume"] + 1e-6
+    k = max(1, steps_per_dispatch)
+    if k > 1:
+        # K optimizer steps per dispatch (train.steps_per_dispatch): scan
+        # over K stacked microbatches — amortizes the relay's per-call floor
+        step = make_train_step_multi(model, rss, optimizer)
+        kbatch = {key: np.stack([v] * k) for key, v in batch.items()}
+        state, losses = step(state, kbatch, rng_key)
+        _ = float(losses[-1])  # compile + warmup with forced readback
+
+        n_iters = max(20 // k, 3)
+        st = time.perf_counter()
+        for i in range(n_iters):
+            kbatch["volume"] = kbatch["volume"] + 1e-6
+            state, losses = step(state, kbatch, rng_key)
+            _ = float(losses[-1])
+        dt = (time.perf_counter() - st) / (n_iters * k)
+    else:
+        step = make_train_step(model, rss, optimizer)
         state, loss = step(state, batch, rng_key)
-        _ = float(loss)
-    dt = (time.perf_counter() - st) / n_iters
+        _ = float(loss)  # compile + warmup with forced readback
+
+        n_iters = 20
+        st = time.perf_counter()
+        for i in range(n_iters):
+            # vary one input so the execution relay can't serve cached results
+            batch["volume"] = batch["volume"] + 1e-6
+            state, loss = step(state, batch, rng_key)
+            _ = float(loss)
+        dt = (time.perf_counter() - st) / n_iters
 
     steps_per_s = 1.0 / dt
     audio_hours_per_hour = b * (n_frames * block / sr) * steps_per_s * 3600 / 3600
@@ -75,7 +93,8 @@ def main(bf16: bool = False):
     print(
         json.dumps(
             {
-                "metric": "train_steps_per_s" + ("_bf16" if bf16 else ""),
+                "metric": "train_steps_per_s" + ("_bf16" if bf16 else "")
+                + (f"_k{k}" if k > 1 else ""),
                 "value": round(steps_per_s, 3),
                 "unit": "steps/s (batch 24 x 2s @ 44.1kHz)",
                 "audio_sec_per_s": round(audio_hours_per_hour, 1),
@@ -90,4 +109,6 @@ def main(bf16: bool = False):
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--bf16", action="store_true")
-    main(bf16=p.parse_args().bf16)
+    p.add_argument("--steps-per-dispatch", type=int, default=1)
+    a = p.parse_args()
+    main(bf16=a.bf16, steps_per_dispatch=a.steps_per_dispatch)

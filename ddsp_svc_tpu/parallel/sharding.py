@@ -78,8 +78,13 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     return jax.device_put(params, param_shardings(params, mesh))
 
 
-def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
-    ns = NamedSharding(mesh, P("data"))
+def shard_batch(batch: Dict, mesh: Mesh, batch_axis: int = 0) -> Dict:
+    """Shard every array's batch dimension over the 'data' mesh axis.
+
+    batch_axis=1 handles K-step dispatch trees (train.steps_per_dispatch):
+    arrays are (K, B, ...) with the scan axis leading, so 'data' rides
+    axis 1 and the K microbatch axis stays replicated."""
+    ns = NamedSharding(mesh, P(*([None] * batch_axis + ["data"])))
     return {k: jax.device_put(v, ns) for k, v in batch.items()}
 
 

@@ -17,7 +17,9 @@ import numpy as np
 import jax
 
 from .saver import Saver
-from .step import TrainState, make_train_step, make_eval_step
+from .step import (
+    TrainState, make_train_step, make_train_step_multi, make_eval_step,
+)
 
 
 def _pad_batch_to_bucket(batch: dict, block_size: int) -> tuple:
@@ -128,23 +130,54 @@ def train(
     """Main loop (solver.py:85-143 parity). Returns final TrainState.
 
     batch_transform: optional per-batch hook (e.g. mesh sharding for
-    data-parallel training)."""
+    data-parallel training).
+
+    train.steps_per_dispatch (K > 1): lax.scan K optimizer steps over K
+    pre-staged microbatches per compiled call — one host->device dispatch
+    per K steps instead of per step (the reference's loop structure,
+    solver.py:101-114, pays the dispatch latency floor every step). RNG and
+    step-count semantics are identical to K=1; log/val intervals are
+    honored at dispatch boundaries (quantized up to K)."""
     saver = Saver(args, initial_global_step=initial_global_step)
-    train_step = make_train_step(
-        model, rss, optimizer, remat=bool(args.train.remat)
-    )
+    k_dispatch = int(getattr(args.train, "steps_per_dispatch", None) or 1)
+    if k_dispatch > 1:
+        train_step = make_train_step_multi(
+            model, rss, optimizer, remat=bool(args.train.remat)
+        )
+    else:
+        train_step = make_train_step(
+            model, rss, optimizer, remat=bool(args.train.remat)
+        )
     rng = jax.random.key(int(args.train.seed or 0) if args.train else 0)
 
     best_loss = np.inf
     num_batches = len(loader_train)
+    micro: list = []  # pending microbatches for K-step dispatch
     saver.log_info("======= start training =======")
     for epoch in range(args.train.epochs):
         for batch_idx, data in enumerate(loader_train.epoch(epoch)):
-            saver.global_step_increment()
             batch = {k: data[k] for k in ("audio", "f0", "volume", "units", "spk_id")}
-            if batch_transform is not None:
-                batch = batch_transform(batch)
-            state, loss = train_step(state, batch, rng)
+            if k_dispatch > 1:
+                # stack K host microbatches, then shard once with the data
+                # axis at position 1 (behind the scan axis)
+                micro.append(batch)
+                if len(micro) < k_dispatch:
+                    continue
+                stacked = {
+                    k: np.stack([m[k] for m in micro]) for k in micro[0]
+                }
+                micro = []
+                if batch_transform is not None:
+                    stacked = batch_transform(stacked, batch_axis=1)
+                for _ in range(k_dispatch):
+                    saver.global_step_increment()
+                state, losses = train_step(state, stacked, rng)
+                loss = losses[-1]
+            else:
+                if batch_transform is not None:
+                    batch = batch_transform(batch)
+                saver.global_step_increment()
+                state, loss = train_step(state, batch, rng)
 
             if saver.global_step % args.train.interval_log == 0:
                 loss_val = float(loss)

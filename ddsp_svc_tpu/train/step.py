@@ -82,6 +82,11 @@ def make_train_step(
     if remat:
         forward = jax.checkpoint(forward)
 
+    train_step = _make_step_body(forward, loss_fn, optimizer)
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def _make_step_body(forward, loss_fn, optimizer):
     def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, jnp.ndarray]:
         step_rng = jax.random.fold_in(rng, state.step)
         rng_noise, rng_loss = jax.random.split(step_rng)
@@ -101,7 +106,50 @@ def make_train_step(
         )
         return new_state, loss
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
+
+
+def make_train_step_multi(
+    model,
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    remat: bool = False,
+) -> Callable:
+    """Returns jitted (state, stacked_batches, rng) -> (state, losses(K,)).
+
+    `lax.scan` of K full optimizer steps over K pre-staged microbatches
+    (every array in the batch dict carries a leading (K, ...) axis) inside
+    ONE compiled XLA program. On remote/relay backends each dispatch has a
+    fixed per-call latency floor (~10-25 ms measured, CLAUDE.md); the
+    reference's one-step-per-loop-iteration structure (solver.py:101-114)
+    pays it every step, this pays it once per K. RNG semantics match the
+    single-step path exactly: the per-step key is fold_in(rng, state.step),
+    and state.step increments inside the scan — so a K-step dispatch and K
+    single-step dispatches draw identical noise/loss-scale randomness."""
+
+    def forward(params, constants, units, f0, volume, spk_id, rng_noise):
+        signal, _, _ = model.apply(
+            {"params": params, "constants": constants},
+            units, f0, volume, spk_id,
+            infer=False,
+            rngs={"noise": rng_noise},
+        )
+        return signal
+
+    if remat:
+        forward = jax.checkpoint(forward)
+
+    step_body = _make_step_body(forward, loss_fn, optimizer)
+
+    def multi_step(state: TrainState, batches: Dict, rng):
+        def body(carry, batch):
+            new_state, loss = step_body(carry, batch, rng)
+            return new_state, loss
+
+        state, losses = jax.lax.scan(body, state, batches)
+        return state, losses
+
+    return jax.jit(multi_step, donate_argnums=(0,))
 
 
 def make_eval_step(model, mss_fn: Callable) -> Callable:

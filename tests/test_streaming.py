@@ -148,3 +148,48 @@ def test_fused_window_matches_legacy_infer(tmp_path):
         assert np.abs(got - ref).max() / scale < 5e-5, (
             use_enh, adaptive_key, np.abs(got - ref).max() / scale
         )
+
+
+def test_stream_config_roundtrip_and_cli_overlay(tmp_path):
+    """YAML settings profiles (reference gui.py:160-171 semantics): save /
+    load round-trips every field incl. the spk-mix dict's int keys; gui.py
+    applies profile values unless a CLI flag was passed explicitly."""
+    from ddsp_svc_tpu.infer.stream_config import StreamConfig
+
+    cfg = StreamConfig(
+        samplerate=32000, block_time=0.5, pitch_adjust=2.0, spk_id=3,
+        spk_mix_dict={1: 0.25, 2: 0.75}, use_enhancer=False,
+        use_phase_vocoder=True, checkpoint_path="exp/foo/model_best.ckpt",
+        threshold_db=-35.0, buffer_num=4, crossfade_time=0.05,
+        pitch_extractor="harvest", use_spk_mix=True,
+        sounddevices=["mic", "speakers"],
+    )
+    path = cfg.save(str(tmp_path / "profiles"), "stage")
+    assert path.endswith("stage.yaml")
+    got = StreamConfig.load(str(tmp_path / "profiles"), "stage")
+    assert got == cfg
+    assert all(isinstance(k, int) for k in got.spk_mix_dict)
+    assert StreamConfig.list_profiles(str(tmp_path / "profiles")) == ["stage"]
+
+    kw = got.session_kwargs()
+    assert kw["block_time"] == 0.5 and kw["use_spk_mix"] is True
+    assert kw["pitch_extractor_type"] == "harvest"
+
+    # gui.py overlay: loaded profile wins over defaults, explicit flags win
+    # over the profile
+    import gui
+
+    class Cmd:  # argparse namespace double with everything unset
+        model_path = None; spk_id = None; pitch = None; threhold = None
+        samplerate = None; block_time = None; crossfade_time = None
+        buffer_num = None; pitch_extractor = None; enhance = None
+        phase_vocoder = None; config = f"{tmp_path}/profiles:stage"
+    eff = gui.effective_config(Cmd())
+    assert eff.block_time == 0.5 and eff.spk_id == 3
+
+    Cmd.block_time = 0.2
+    Cmd.enhance = "true"
+    eff = gui.effective_config(Cmd())
+    assert eff.block_time == 0.2          # explicit flag overrides profile
+    assert eff.use_enhancer is True
+    assert eff.pitch_extractor == "harvest"  # untouched profile value kept

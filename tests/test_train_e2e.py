@@ -258,3 +258,87 @@ def test_async_checkpointer_roundtrip(tmp_path):
     with pytest.raises(RuntimeError):
         ac.wait()
     ac.close()
+
+
+def test_multi_step_dispatch_matches_single_steps():
+    """make_train_step_multi (lax.scan of K optimizer steps per dispatch,
+    train.steps_per_dispatch) must reproduce K make_train_step calls: same
+    rng fold-in by state.step, same losses/params/opt-state up to XLA
+    fusion-order rounding (the scan body compiles to a differently-fused
+    program than the standalone step; measured drift ~2e-5 over 3 steps)."""
+    from ddsp_svc_tpu.models import CombSubFast
+    from ddsp_svc_tpu.train import make_train_step_multi
+
+    rng = np.random.default_rng(11)
+    k, b, n_frames, block, n_unit = 3, 2, 8, 256, 64
+
+    def batch_at(s):
+        r = np.random.default_rng(100 + s)
+        return {
+            "audio": (0.3 * r.standard_normal((b, n_frames * block))).astype(np.float32),
+            "units": r.standard_normal((b, n_frames, n_unit)).astype(np.float32),
+            "f0": (100.0 + 200.0 * r.random((b, n_frames, 1))).astype(np.float32),
+            "volume": r.random((b, n_frames)).astype(np.float32),
+            "spk_id": np.asarray([[1], [2]], dtype=np.int64),
+        }
+
+    model = CombSubFast(sampling_rate=SR, block_size=block, n_unit=n_unit, n_spk=2)
+    optimizer = create_optimizer(1e-3)
+    state0 = create_train_state(model, optimizer, batch_at(0), jax.random.key(0))
+    rss = RSSLoss(128, 512, n_scale=2, n_buckets=4)
+    rng_key = jax.random.key(5)
+
+    # K single-step dispatches
+    step = make_train_step(model, rss, optimizer)
+    state_a = state0
+    losses_a = []
+    for s in range(k):
+        state_a, loss = step(state_a, batch_at(s), rng_key)
+        losses_a.append(float(loss))
+
+    # one K-step dispatch over the stacked microbatches
+    state0b = create_train_state(model, optimizer, batch_at(0), jax.random.key(0))
+    multi = make_train_step_multi(model, rss, optimizer)
+    stacked = {
+        key: np.stack([batch_at(s)[key] for s in range(k)])
+        for key in batch_at(0)
+    }
+    state_b, losses_b = multi(state0b, stacked, rng_key)
+
+    np.testing.assert_allclose(
+        np.asarray(losses_b), np.asarray(losses_a), rtol=2e-4
+    )
+    assert int(state_b.step) == int(state_a.step) == k
+    # Adam's g/(|g|+eps) amplifies fusion-order rounding into up-to-lr
+    # moves on cancellation-level elements; bound drift at the lr scale (a sign flip moves an element 2*lr per step)
+    for la, lb in zip(jax.tree_util.tree_leaves(state_a.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=1e-2, atol=5e-3
+        )
+
+
+def test_solver_steps_per_dispatch(tiny_data):
+    """solver.train with train.steps_per_dispatch=2: the K-step dispatch path
+    accumulates microbatches, steps the jitted scan, and keeps the
+    global-step accounting consistent with max_steps."""
+    from ddsp_svc_tpu.models import build_model as _build
+    from ddsp_svc_tpu.train import solver
+
+    args = _args(tiny_data)
+    # NB: args.train returns a lazily-wrapped COPY — mutate the raw dict
+    args["train"]["steps_per_dispatch"] = 2
+    args["train"]["remat"] = None
+    args["train"]["interval_log"] = 2
+    args["train"]["epochs"] = 20
+    loader, valid = get_data_loaders(args)
+    model = _build(args)
+    optimizer = create_optimizer(1e-3)
+    batch = {k: v for k, v in next(iter(loader.epoch(0))).items() if k != "name"}
+    state = create_train_state(model, optimizer, batch, jax.random.key(0))
+    rss = RSSLoss(128, 512, n_scale=2, n_buckets=4)
+    state, saver = solver.train(
+        args, 0, model, state, optimizer, rss, loader, valid, max_steps=4
+    )
+    assert int(state.step) == 4
+    assert saver.global_step == 4

@@ -92,7 +92,7 @@ def main():
         mesh = make_mesh(n_data=n_data, n_model=n_model)
         print(f" > mesh: data={n_data} x model={n_model}")
         state = shard_train_state(state, mesh)
-        batch_transform = lambda b: shard_batch(b, mesh)  # noqa: E731
+        batch_transform = lambda b, **kw: shard_batch(b, mesh, **kw)  # noqa: E731
 
     rss = RSSLoss(
         fft_min=int(args.loss.fft_min),
