@@ -98,6 +98,10 @@ def run_inference_batch(
     synth = make_jitted_synth(
         model, variables, spk_mix_dict=spk_mix_dict, mask_padding=True
     )
+    # default f0 cache lives under the output location — the same rule as
+    # run_inference (dirname(output_path)/cache), so converting the same
+    # files in single-file mode into output_dir hits this cache and vice
+    # versa; pass cache_dir explicitly to share across output locations
     cache_dir = cache_dir or os.path.join(output_dir, "cache")
 
     # ---- per-file feature extraction + segmentation (host) ----
@@ -158,14 +162,20 @@ def run_inference_batch(
     for bucket, recs in sorted(groups.items()):
         for lo in range(0, len(recs), batch_size):
             chunk = recs[lo: lo + batch_size]
-            b = len(chunk)
+            # pad the batch axis up to batch_size (repeat the last row) so
+            # every chunk of a bucket group reuses ONE compiled program —
+            # a remainder-sized batch would otherwise compile a second
+            # program per (bucket, remainder) shape, expensive through the
+            # minutes-per-compile relay; outputs are cropped back below
+            b = batch_size
             n_unit = chunk[0]["units"].shape[-1]
             units_b = np.zeros((b, bucket, n_unit), np.float32)
             f0_b = np.zeros((b, bucket, 1), np.float32)
             vol_b = np.zeros((b, bucket), np.float32)
             noise_b = np.zeros((b, bucket * block), np.float32)
             valid = np.zeros((b,), np.int64)
-            for j, rec in enumerate(chunk):
+            pad_rows = [chunk[-1]] * (batch_size - len(chunk))
+            for j, rec in enumerate(list(chunk) + pad_rows):
                 n = rec["n_f"]
                 units_b[j, :n] = rec["units"][0]
                 f0_b[j, :n] = rec["f0"][0]
@@ -208,6 +218,8 @@ def run_inference_batch(
         for (eak, bucket), recs in sorted(egroups.items()):
             for lo in range(0, len(recs), batch_size):
                 chunk = recs[lo: lo + batch_size]
+                # same single-program-per-group batch padding as synthesis
+                epad = [chunk[-1]] * (batch_size - len(chunk))
                 rand = np.concatenate([
                     np.asarray(
                         enhancer_rand_hook(r["file"], r["seg"]), np.float32
@@ -219,12 +231,12 @@ def run_inference_batch(
                             (1, 9),
                         ).at[:, 0].set(0.0)
                     )
-                    for r in chunk
+                    for r in list(chunk) + epad
                 ], axis=0)
                 outs, sr_o = enhancer.enhance_batch(
-                    [r["signal"] for r in chunk],
+                    [r["signal"] for r in list(chunk) + epad],
                     sr_model,
-                    [r["f0"] for r in chunk],
+                    [r["f0"] for r in list(chunk) + epad],
                     block,
                     adaptive_key=eak,
                     rand_ini=rand,

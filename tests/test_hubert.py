@@ -143,3 +143,50 @@ def test_hubert_discrete_units():
     units = hd.units(wav)
     assert units.shape[0] == 1 and units.shape[1] > 0
     assert (units >= 0).all() and (units < 100).all()
+
+
+def test_hubert_discrete_units_parity():
+    """HubertDiscrete (layer-7 features -> k-means ids, model.py:87-97) vs
+    the EXECUTED reference with identical seeded weights and centroids:
+    the discrete unit sequences must match id-for-id."""
+    try:
+        from encoder.hubert.model import HubertDiscrete as RefHubertDiscrete  # type: ignore
+        from sklearn.cluster import KMeans
+    except Exception as e:
+        pytest.skip(f"reference hubert/sklearn not importable: {e}")
+    import torch
+
+    from ddsp_svc_tpu.nn.hubert import HubertDiscrete
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((100, 768)).astype(np.float32)
+    km = KMeans(100)
+    # load the codebook exactly like the reference's _kmeans loader
+    # (model.py:263-273): attributes set directly, no fit
+    km.__dict__["n_features_in_"] = 768
+    km.__dict__["_n_threads"] = 1
+    km.__dict__["cluster_centers_"] = centers  # float32, like the torch checkpoint
+    # sklearn >=1.3 predict also wants labels_; mirror what fit would set
+    km.__dict__["labels_"] = np.zeros(100, dtype=np.int32)
+
+    torch.manual_seed(4)
+    ref = RefHubertDiscrete(km)
+    ref.eval()
+
+    wav = (0.1 * rng.standard_normal((1, 32000))).astype(np.float32)
+    with torch.inference_mode():
+        ref_ids = ref.units(torch.from_numpy(wav).unsqueeze(1)).numpy()
+
+    from ddsp_svc_tpu.utils.convert import convert_hubert_state_dict
+
+    variables = jax.tree.map(
+        jnp.asarray, convert_hubert_state_dict(ref.state_dict())
+    )
+    ours = HubertDiscrete(variables, centers)
+    got = np.asarray(ours.units(jnp.asarray(wav)))[0]
+
+    assert got.shape == ref_ids.shape, (got.shape, ref_ids.shape)
+    # identical centroids + parity-level features => identical ids except
+    # where a frame sits near a Voronoi boundary; require near-total match
+    agree = (got == ref_ids).mean()
+    assert agree > 0.99, (agree, got[:20], ref_ids[:20])
