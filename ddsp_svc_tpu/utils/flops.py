@@ -189,9 +189,21 @@ def nsf_generator_cost(h: dict, b: int, f: int, *,
             2 * len(rd) * 2.0 * t_out * ch * ch * rk
             for rk, rd in zip(rks, rds)
         )
-        # fused trio HBM: x in, x out (intermediates in VMEM); weights
-        c += Cost(trio_flops,
-                  dtype_bytes * 2 * t_out * ch + 4 * n_convs * ch * ch * 11)
+        # fused trio kernel HBM (intra-kernel, not just stage boundaries):
+        # the host-side im2col staging (ops/pallas_kernels.py:1092-1096)
+        # reads x and WRITES an fp32 halo'd tile stack which the kernel
+        # grid then reads back — 1 + 2*(1 + 2*halo/tile) full activations
+        # in fp32 regardless of the stage dtype — plus the kernel's output
+        # write and the weight tensors once per grid
+        tile = min(8192, max(512, 131072 // ch))
+        halo_frac = 1.0 + 2.0 * 64 / tile  # _RB_HALO = 64
+        c += Cost(
+            trio_flops,
+            dtype_bytes * t_out * ch               # x read for staging
+            + 2 * 4.0 * t_out * ch * halo_frac     # tile stack write + read
+            + dtype_bytes * t_out * ch             # kernel output write
+            + 4 * n_convs * ch * ch * 11,
+        )
         c += elemwise(t_out * ch, 4, dtype_bytes)  # leaky/mean/skip adds
         t_in, cin = t_out, ch
     c += conv1d(t_full, cin, 1, 7)
