@@ -75,7 +75,7 @@ def _song(sr, seconds, seed=0):
     return (x + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
 
 
-def bench_sola(sr, block, seconds, warmup_blocks):
+def bench_sola(sr, block, seconds, warmup_blocks, pipeline_depth=0):
     from ddsp_svc_tpu.infer.streaming import SvcCore, StreamingSession
 
     tmpdir = tempfile.mkdtemp(prefix="bench_stream_")
@@ -86,6 +86,7 @@ def bench_sola(sr, block, seconds, warmup_blocks):
         sess = StreamingSession(
             core, samplerate=sr, block_time=0.3, crossfade_time=0.04,
             buffer_num=2, use_enhancer=False, pitch_extractor_type="dio",
+            pipeline_depth=pipeline_depth,
         )
         bf = sess.block_frame
         song = _song(sr, seconds)
@@ -133,6 +134,10 @@ def main():
     p.add_argument("--warmup-blocks", type=int, default=6)
     p.add_argument("--sr", type=int, default=44100)
     p.add_argument("--block", type=int, default=512)
+    p.add_argument("--pipelined", action="store_true",
+                   help="SOLA engine with pipeline_depth=1 (submit window N,"
+                        " splice window N-1; device round-trip overlaps the"
+                        " next block)")
     args = p.parse_args()
 
     results = {}
@@ -143,8 +148,9 @@ def main():
           else bench_incremental),)
     )
     for name, fn in engines:
+        kw = {"pipeline_depth": 1} if (args.pipelined and fn is bench_sola) else {}
         lat, block_dur = fn(args.sr, args.block, args.seconds,
-                            args.warmup_blocks)
+                            args.warmup_blocks, **kw)
         p50 = float(np.percentile(lat, 50)) * 1e3
         p95 = float(np.percentile(lat, 95)) * 1e3
         results[name] = {

@@ -239,7 +239,12 @@ class SvcCore:
         f0_min: float = 50,
         f0_max: float = 1100,
         safe_prefix_pad_length: float = 0,
+        materialize: bool = True,
     ):
+        """materialize=False returns the output as a DEVICE array without
+        forcing the host transfer — the caller collects it later
+        (StreamingSession pipeline_depth overlaps the device round-trip
+        with the next window's host-side feature extraction)."""
         hop_size = (
             self.args.data.block_size * sample_rate / self.args.data.sampling_rate
         )
@@ -259,7 +264,7 @@ class SvcCore:
             return self._infer_fused(
                 audio, sample_rate, f0, volume, spk_id, threshold_db,
                 use_spk_mix, spk_mix_dict, enh_on, enhancer_adaptive_key,
-                silence_front, rng,
+                silence_front, rng, materialize=materialize,
             )
 
         mask = response_mask(volume, threshold_db, self.args.data.block_size)
@@ -281,11 +286,13 @@ class SvcCore:
             )
         else:
             out_sr = self.args.data.sampling_rate
+        if not materialize:
+            return out[0], out_sr
         return np.asarray(out)[0], out_sr
 
     def _infer_fused(self, audio, sample_rate, f0, volume, spk_id,
                      threshold_db, use_spk_mix, spk_mix_dict, enh_on,
-                     adaptive_key, silence_front, rng):
+                     adaptive_key, silence_front, rng, materialize=True):
         """Single-dispatch window conversion (host feature extraction stays
         host-side; everything device lands in one jit program)."""
         from .offline import response_frame_mask
@@ -346,6 +353,8 @@ class SvcCore:
             jnp.asarray(f0_res),
             jnp.asarray(rand_ini),
         )
+        if not materialize:
+            return out[0], out_sr
         return np.asarray(out)[0], out_sr
 
 
@@ -360,11 +369,21 @@ class StreamingSession:
         crossfade_time: float = 0.04,
         buffer_num: int = 2,
         use_phase_vocoder: bool = False,
+        pipeline_depth: int = 0,
         **infer_kwargs,
     ):
+        """pipeline_depth=1 double-buffers the device round-trip: each
+        process_block SUBMITS window N (without forcing the host transfer)
+        and splices window N-1's now-ready result — the device/relay
+        round-trip overlaps the next block's host-side feature extraction
+        and real-time wait. Legal because the SOLA splice only needs the
+        *previous* output tail; costs pipeline_depth blocks of added
+        latency (zeros while priming)."""
         self.core = core
         self.samplerate = samplerate
         self.use_phase_vocoder = use_phase_vocoder
+        self.pipeline_depth = int(pipeline_depth)
+        self._pending: list = []
         self.infer_kwargs = infer_kwargs
 
         # latency accounting (gui.py:319-327)
@@ -391,17 +410,36 @@ class StreamingSession:
 
     def process_block(self, block: np.ndarray) -> np.ndarray:
         """Feed one input block of `block_frame` samples; returns the output
-        block (block_frame samples) — gui.py:367-433 parity."""
+        block (block_frame samples) — gui.py:367-433 parity. With
+        pipeline_depth > 0 the returned block lags the input by that many
+        blocks (zeros while priming)."""
         assert block.shape[-1] == self.block_frame
         self.input_wav = np.roll(self.input_wav, -self.block_frame)
         self.input_wav[-self.block_frame:] = block
 
-        audio, model_sr = self.core.infer(
+        res = self.core.infer(
             self.input_wav,
             self.samplerate,
             safe_prefix_pad_length=self.safe_prefix_pad_length,
+            materialize=self.pipeline_depth == 0,
             **self.infer_kwargs,
         )
+        if self.pipeline_depth > 0:
+            self._pending.append(res)
+            if len(self._pending) <= self.pipeline_depth:
+                return np.zeros(self.block_frame, dtype=np.float32)
+            res = self._pending.pop(0)
+        return self._splice(*res)
+
+    def flush(self) -> list:
+        """Drain pipelined windows still in flight (end-of-stream); returns
+        the remaining output blocks in order."""
+        outs = [self._splice(*res) for res in self._pending]
+        self._pending = []
+        return outs
+
+    def _splice(self, audio, model_sr) -> np.ndarray:
+        audio = np.asarray(audio)  # collect the (possibly async) device result
         if model_sr != self.samplerate:
             audio = np.asarray(
                 resample(jnp.asarray(audio)[None], model_sr, self.samplerate)

@@ -877,6 +877,10 @@ _RB_HALO = 64  # >= cumulative receptive margin: max_k 6*(k-1) = 60 (k=11)
 _PER_TAP = False  # experiment switch: per-tap dots instead of roll-im2col
 _NO_SHIFT = False  # experiment switch: skip the tap rolls (WRONG numerics) —
 # bounds how much of the kernel's time the roll relayouts cost
+_ROLL_MM = False  # experiment switch: lower tap rolls as MXU shift-matrix
+# dots (rolled = hp @ R_s, R_s a (W, W) rotation matrix built from iota
+# equality) instead of pltpu.roll — trades VPU relayout time for
+# 2*C*W*W-flop matmuls; only sane at small tiles (pass tile=512)
 
 
 def _leaky_k(x, slope=0.1):
@@ -913,14 +917,32 @@ def _rb_conv_cf(h, mask, w_ref, b_ref, i, j, k, d, n_ch, mxu_bf16,
         # roll in fp32 (Mosaic: 'Rotate with non-32-bit data' unimplemented);
         # cast each rolled part before stacking to halve the concat's VMEM
         cast = (lambda v: v.astype(jnp.bfloat16)) if mxu_bf16 else (lambda v: v)
-        taps = jnp.concatenate(
-            [
-                cast(hp if _NO_SHIFT
-                     else pltpu.roll(hp, (off - tap * d) % width, axis=1))
-                for tap in range(k)
-            ],
-            axis=0,
-        )  # (k*C, W)
+        if _ROLL_MM:
+            # rolled[:, j] = hp[:, (j - s) % W]  ==  hp @ R, R[i, j] = [i == (j - s) % W]
+            row = jax.lax.broadcasted_iota(jnp.int32, (width, width), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (width, width), 1)
+
+            def rot(v, s):
+                rmat = (row == (col - s) % width).astype(jnp.float32)
+                return jax.lax.dot(v, rmat, preferred_element_type=jnp.float32)
+
+            taps = jnp.concatenate(
+                [
+                    cast(hp if _NO_SHIFT
+                         else rot(hp, (off - tap * d) % width))
+                    for tap in range(k)
+                ],
+                axis=0,
+            )
+        else:
+            taps = jnp.concatenate(
+                [
+                    cast(hp if _NO_SHIFT
+                         else pltpu.roll(hp, (off - tap * d) % width, axis=1))
+                    for tap in range(k)
+                ],
+                axis=0,
+            )  # (k*C, W)
         out = jax.lax.dot(
             w_ref[i, j, :, : k * n_ch], taps,
             preferred_element_type=jnp.float32,

@@ -193,3 +193,30 @@ def test_stream_config_roundtrip_and_cli_overlay(tmp_path):
     assert eff.block_time == 0.2          # explicit flag overrides profile
     assert eff.use_enhancer is True
     assert eff.pitch_extractor == "harvest"  # untouched profile value kept
+
+
+def test_pipelined_session_matches_sequential():
+    """pipeline_depth=1 (double-buffered device round-trip) must produce
+    exactly the sequential engine's output, delayed by one block (zeros
+    while priming), with the tail recoverable via flush()."""
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    signal = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+
+    def run(depth):
+        core = ShiftingPassthroughCore(sr, seed=7)
+        sess = StreamingSession(core, samplerate=sr, block_time=0.1,
+                                crossfade_time=0.02, buffer_num=1,
+                                pipeline_depth=depth)
+        bf = sess.block_frame
+        outs = [sess.process_block(signal[i * bf: (i + 1) * bf])
+                for i in range(signal.shape[0] // bf)]
+        outs += sess.flush()
+        return outs
+
+    plain = run(0)
+    piped = run(1)
+    assert len(piped) == len(plain) + 1
+    assert not piped[0].any()  # priming block is silence
+    for a, b in zip(plain, piped[1:]):
+        np.testing.assert_array_equal(a, b)
