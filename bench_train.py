@@ -15,7 +15,7 @@ import time
 import numpy as np
 
 
-def main(bf16: bool = False, steps_per_dispatch: int = 1):
+def main(bf16: bool = False, steps_per_dispatch: int = 1, batch: int = 24):
     import jax
 
     from ddsp_svc_tpu.models import CombSubFast, RSSLoss
@@ -24,7 +24,7 @@ def main(bf16: bool = False, steps_per_dispatch: int = 1):
         make_train_step_multi,
     )
 
-    sr, block, n_unit, b = 44100, 512, 256, 24
+    sr, block, n_unit, b = 44100, 512, 256, batch
     n_frames = int(2.0 * sr / block)  # 2 s crops -> 172 frames
 
     rng = np.random.default_rng(time.time_ns() % (2**32))
@@ -94,9 +94,10 @@ def main(bf16: bool = False, steps_per_dispatch: int = 1):
         json.dumps(
             {
                 "metric": "train_steps_per_s" + ("_bf16" if bf16 else "")
-                + (f"_k{k}" if k > 1 else ""),
+                + (f"_k{k}" if k > 1 else "")
+                + (f"_b{b}" if b != 24 else ""),
                 "value": round(steps_per_s, 3),
-                "unit": "steps/s (batch 24 x 2s @ 44.1kHz)",
+                "unit": f"steps/s (batch {b} x 2s @ 44.1kHz)",
                 "audio_sec_per_s": round(audio_hours_per_hour, 1),
                 "mxu_util": round(rep.flops_util, 3),
                 "hbm_util": round(rep.bw_util, 3),
@@ -110,5 +111,8 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--steps-per-dispatch", type=int, default=1)
+    p.add_argument("--batch", type=int, default=24,
+                   help="throughput mode: larger batches raise audio-sec/s "
+                        "per chip when the step is not MXU-bound")
     a = p.parse_args()
-    main(bf16=a.bf16, steps_per_dispatch=a.steps_per_dispatch)
+    main(bf16=a.bf16, steps_per_dispatch=a.steps_per_dispatch, batch=a.batch)

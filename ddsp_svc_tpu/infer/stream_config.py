@@ -37,6 +37,7 @@ class StreamConfig:
     pitch_extractor: str = "dio"       # reference: select_pitch_extractor
     use_spk_mix: bool = False
     sounddevices: List[str] = dataclasses.field(default_factory=lambda: ["", ""])
+    pipeline_depth: int = 0            # 1 = double-buffer the device round-trip
 
     # --- persistence ------------------------------------------------------
 
@@ -92,6 +93,7 @@ class StreamConfig:
             crossfade_time=self.crossfade_time,
             buffer_num=self.buffer_num,
             use_phase_vocoder=self.use_phase_vocoder,
+            pipeline_depth=self.pipeline_depth,
             spk_id=self.spk_id,
             use_spk_mix=self.use_spk_mix,
             spk_mix_dict=self.spk_mix_dict,

@@ -48,6 +48,9 @@ def parse_args():
     p.add_argument("-pe", "--pitch_extractor", type=str, default=None)
     p.add_argument("-e", "--enhance", type=str, default=None)
     p.add_argument("--phase-vocoder", action="store_true", default=None)
+    p.add_argument("--pipeline-depth", type=int, default=None,
+                   help="1 = double-buffer the device round-trip (one block "
+                        "extra latency; overlaps device work with I/O)")
     p.add_argument("--config", type=str, default=None, metavar="DIR[:NAME]",
                    help="load a settings profile (YAML) before applying flags")
     p.add_argument("--save-config", type=str, default=None, metavar="DIR[:NAME]",
@@ -92,6 +95,8 @@ def effective_config(cmd) -> StreamConfig:
         cfg.use_enhancer = cmd.enhance.lower() == "true"
     if cmd.phase_vocoder is not None:
         cfg.use_phase_vocoder = bool(cmd.phase_vocoder)
+    if cmd.pipeline_depth is not None:
+        cfg.pipeline_depth = cmd.pipeline_depth
     return cfg
 
 
@@ -111,6 +116,7 @@ def stream_file(cfg: StreamConfig, input_path: str, output_path: str) -> None:
         outs.append(sess.process_block(audio[b * bf : (b + 1) * bf]))
         dt = (time.perf_counter() - st) * 1000
         print(f"block {b + 1}/{n_blocks} | {i18n('Inference time (ms)')}: {dt:.1f}")
+    outs.extend(sess.flush())  # drain pipelined windows still in flight
     write_wav(output_path, np.concatenate(outs).astype(np.float32), cfg.samplerate)
     print(f" [*] wrote {output_path}")
 

@@ -183,7 +183,8 @@ def test_stream_config_roundtrip_and_cli_overlay(tmp_path):
         model_path = None; spk_id = None; pitch = None; threhold = None
         samplerate = None; block_time = None; crossfade_time = None
         buffer_num = None; pitch_extractor = None; enhance = None
-        phase_vocoder = None; config = f"{tmp_path}/profiles:stage"
+        phase_vocoder = None; pipeline_depth = None
+        config = f"{tmp_path}/profiles:stage"
     eff = gui.effective_config(Cmd())
     assert eff.block_time == 0.5 and eff.spk_id == 3
 
