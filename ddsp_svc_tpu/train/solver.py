@@ -209,5 +209,20 @@ def train(
             if max_steps is not None and saver.global_step >= initial_global_step + max_steps:
                 saver.finish()
                 return state, saver
+    if micro:
+        # epochs exhausted with a partial K-dispatch pending: drain the
+        # leftover microbatches through single steps (same RNG semantics —
+        # the per-step key folds in state.step either way)
+        single_step = make_train_step(
+            model, rss, optimizer, remat=bool(args.train.remat)
+        )
+        for batch in micro:
+            if batch_transform is not None:
+                batch = batch_transform(batch)
+            saver.global_step_increment()
+            state, loss = single_step(state, batch, rng)
+        saver.log_info(
+            f"drained {len(micro)} pending microbatches at end of training"
+        )
     saver.finish()
     return state, saver

@@ -342,3 +342,28 @@ def test_solver_steps_per_dispatch(tiny_data):
     )
     assert int(state.step) == 4
     assert saver.global_step == 4
+
+
+def test_solver_steps_per_dispatch_drains_remainder(tiny_data):
+    """Epochs exhausted with a partial K-dispatch pending: the leftover
+    microbatches must still train (single-step drain), not be dropped."""
+    from ddsp_svc_tpu.models import build_model as _build
+    from ddsp_svc_tpu.train import solver
+
+    args = _args(tiny_data)
+    args["train"]["steps_per_dispatch"] = 4
+    args["train"]["remat"] = None
+    args["train"]["epochs"] = 1  # 1 epoch -> fewer than 4 batches pending
+    loader, valid = get_data_loaders(args)
+    n_batches = len(loader)
+    assert n_batches < 4  # precondition: remainder path is exercised
+    model = _build(args)
+    optimizer = create_optimizer(1e-3)
+    batch = {k: v for k, v in next(iter(loader.epoch(0))).items() if k != "name"}
+    state = create_train_state(model, optimizer, batch, jax.random.key(0))
+    rss = RSSLoss(128, 512, n_scale=2, n_buckets=4)
+    state, saver = solver.train(
+        args, 0, model, state, optimizer, rss, loader, valid
+    )
+    assert int(state.step) == n_batches
+    assert saver.global_step == n_batches
