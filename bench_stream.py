@@ -75,6 +75,48 @@ def _song(sr, seconds, seed=0):
     return (x + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
 
 
+def bench_sola_ab_pipelined(sr, block, seconds, warmup_blocks):
+    """Block-interleaved A/B: plain vs pipeline_depth=1 sessions fed the
+    same blocks within the same minute — the only comparison that survives
+    the relay's minute-scale drift (observed ±30% between back-to-back
+    single-arm runs of the SAME config)."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from ddsp_svc_tpu.infer.streaming import SvcCore, StreamingSession
+
+    tmpdir = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        path = _make_ckpt(tmpdir, sr, block, causal=False, frame_norm=False,
+                          bf16=True)
+        core = SvcCore(path)
+        kw = dict(samplerate=sr, block_time=0.3, crossfade_time=0.04,
+                  buffer_num=2, use_enhancer=False,
+                  pitch_extractor_type="dio")
+        plain = StreamingSession(core, **kw)
+        piped = StreamingSession(core, pipeline_depth=1, **kw)
+        bf = plain.block_frame
+        song = _song(sr, seconds)
+        lat = {"plain": [], "pipelined": []}
+        for i in range(len(song) // bf):
+            blk = song[i * bf: (i + 1) * bf]
+            for name, sess in (("plain", plain), ("pipelined", piped)):
+                st = time.perf_counter()
+                out = sess.process_block(blk)
+                lat[name].append(time.perf_counter() - st)
+                assert np.isfinite(out).all()
+        res = {}
+        for name in lat:
+            arr = np.asarray(lat[name][warmup_blocks:])
+            res[name] = {"p50_ms": round(float(np.percentile(arr, 50)) * 1e3, 2),
+                         "p95_ms": round(float(np.percentile(arr, 95)) * 1e3, 2)}
+        print(_json.dumps({"metric": "streaming_pipelined_ab",
+                           "block_ms": round(bf / sr * 1e3, 1), **res}))
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
 def bench_sola(sr, block, seconds, warmup_blocks, pipeline_depth=0):
     from ddsp_svc_tpu.infer.streaming import SvcCore, StreamingSession
 
@@ -138,7 +180,14 @@ def main():
                    help="SOLA engine with pipeline_depth=1 (submit window N,"
                         " splice window N-1; device round-trip overlaps the"
                         " next block)")
+    p.add_argument("--ab-pipelined", action="store_true",
+                   help="block-interleaved plain-vs-pipelined A/B in one"
+                        " process (drift-immune)")
     args = p.parse_args()
+    if args.ab_pipelined:
+        bench_sola_ab_pipelined(args.sr, args.block, args.seconds,
+                                args.warmup_blocks)
+        return
 
     results = {}
     engines = (

@@ -15,13 +15,14 @@ import time
 import numpy as np
 
 
-def main(bf16: bool = False, steps_per_dispatch: int = 1, batch: int = 24):
+def main(bf16: bool = False, steps_per_dispatch: int = 1, batch: int = 24,
+         data_on_device: bool = False):
     import jax
 
     from ddsp_svc_tpu.models import CombSubFast, RSSLoss
     from ddsp_svc_tpu.train import (
         create_optimizer, create_train_state, make_train_step,
-        make_train_step_multi,
+        make_train_step_multi, make_train_step_pool,
     )
 
     sr, block, n_unit, b = 44100, 512, 256, batch
@@ -44,7 +45,43 @@ def main(bf16: bool = False, steps_per_dispatch: int = 1, batch: int = 24):
     rng_key = jax.random.key(1)
 
     k = max(1, steps_per_dispatch)
-    if k > 1:
+    if data_on_device:
+        # train.data_on_device: the dataset lives in HBM, the step gathers
+        # crops on device — per-step host traffic is the index bytes only.
+        # This removes the measured hot-loop bottleneck (the ~13 MB batch
+        # upload; docs/KERNELS.md round-5 training profile: 14.2x).
+        import jax.numpy as jnp
+
+        n_pool = 64 * n_frames
+        pool = {
+            "units": jax.device_put(jnp.asarray(
+                rng.standard_normal((n_pool, n_unit)).astype(np.float16))),
+            "f0": jax.device_put(jnp.asarray(
+                (200 * rng.random(n_pool)).astype(np.float32))),
+            "volume": jax.device_put(jnp.asarray(
+                rng.random(n_pool).astype(np.float32))),
+            "audio": jax.device_put(jnp.asarray(
+                rng.standard_normal(n_pool * block).astype(np.float16))),
+        }
+        step = make_train_step_pool(model, rss, optimizer, n_frames, block)
+
+        def idx_at(i):
+            r = np.random.default_rng(i)
+            return {
+                "feat_start": r.integers(0, n_pool - n_frames, b).astype(np.int32),
+                "unit_start": r.integers(0, n_pool - n_frames, b).astype(np.int32),
+                "spk_id": np.ones((b, 1), np.int64),
+            }
+
+        state, loss = step(state, pool, idx_at(0), rng_key)
+        _ = float(loss)
+        n_iters = 30
+        st = time.perf_counter()
+        for i in range(1, n_iters + 1):
+            state, loss = step(state, pool, idx_at(i), rng_key)
+            _ = float(loss)
+        dt = (time.perf_counter() - st) / n_iters
+    elif k > 1:
         # K optimizer steps per dispatch (train.steps_per_dispatch): scan
         # over K stacked microbatches — amortizes the relay's per-call floor
         step = make_train_step_multi(model, rss, optimizer)
@@ -95,7 +132,8 @@ def main(bf16: bool = False, steps_per_dispatch: int = 1, batch: int = 24):
             {
                 "metric": "train_steps_per_s" + ("_bf16" if bf16 else "")
                 + (f"_k{k}" if k > 1 else "")
-                + (f"_b{b}" if b != 24 else ""),
+                + (f"_b{b}" if b != 24 else "")
+                + ("_pool" if data_on_device else ""),
                 "value": round(steps_per_s, 3),
                 "unit": f"steps/s (batch {b} x 2s @ 44.1kHz)",
                 "audio_sec_per_s": round(audio_hours_per_hour, 1),
@@ -114,5 +152,8 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=24,
                    help="throughput mode: larger batches raise audio-sec/s "
                         "per chip when the step is not MXU-bound")
+    p.add_argument("--data-on-device", action="store_true",
+                   help="device-resident data pool (train.data_on_device)")
     a = p.parse_args()
-    main(bf16=a.bf16, steps_per_dispatch=a.steps_per_dispatch, batch=a.batch)
+    main(bf16=a.bf16, steps_per_dispatch=a.steps_per_dispatch, batch=a.batch,
+         data_on_device=a.data_on_device)

@@ -18,7 +18,8 @@ import jax
 
 from .saver import Saver
 from .step import (
-    TrainState, make_train_step, make_train_step_multi, make_eval_step,
+    TrainState, make_train_step, make_train_step_multi,
+    make_train_step_pool, make_eval_step,
 )
 
 
@@ -140,7 +141,34 @@ def train(
     honored at dispatch boundaries (quantized up to K)."""
     saver = Saver(args, initial_global_step=initial_global_step)
     k_dispatch = int(getattr(args.train, "steps_per_dispatch", None) or 1)
-    if k_dispatch > 1:
+    use_pool = bool(getattr(args.train, "data_on_device", None) or False)
+    pool = None
+    if use_pool:
+        # device-resident data path (data/device_pool.py): the cached
+        # feature store is staged into HBM once; the jitted step gathers
+        # crops on device, so per-step host->device traffic is a few index
+        # bytes instead of the full batch (the measured hot-loop bottleneck
+        # on remote backends — docs/KERNELS.md round-5 training profile)
+        if k_dispatch > 1 or batch_transform is not None:
+            raise ValueError(
+                "train.data_on_device is single-device, K=1 for now "
+                "(combine with steps_per_dispatch/DP sharding later)"
+            )
+        from ..data.device_pool import DevicePool
+
+        ds = getattr(loader_train, "dataset", None)
+        if ds is None:  # PrefetchIterator wraps the BatchIterator
+            ds = loader_train.inner.dataset
+        pool = DevicePool(ds, int(args.data.block_size))
+        saver.log_info(
+            f" [pool] {len(pool)} files, {pool.nbytes() / 1e6:.0f} MB "
+            "staged in device memory"
+        )
+        train_step = make_train_step_pool(
+            model, rss, optimizer, pool.crop_frames, pool.block,
+            remat=bool(args.train.remat),
+        )
+    elif k_dispatch > 1:
         train_step = make_train_step_multi(
             model, rss, optimizer, remat=bool(args.train.remat)
         )
@@ -153,11 +181,34 @@ def train(
     best_loss = np.inf
     num_batches = len(loader_train)
     micro: list = []  # pending microbatches for K-step dispatch
+
+    def pool_epoch(epoch_idx):
+        """Seeded per-epoch file shuffle + host-side crop index selection
+        (same randomization contract as BatchIterator + get_item)."""
+        import random as _random
+
+        rng_l = _random.Random(f"{args.train.seed}:{epoch_idx}:pool")
+        order = list(range(len(pool)))
+        rng_l.shuffle(order)
+        bsz = int(args.train.batch_size)
+        for b in range(max(1, len(pool) // bsz)):
+            files = [order[(b * bsz + i) % len(order)] for i in range(bsz)]
+            yield pool.sample(files, rng_l)
+
+    if use_pool:
+        num_batches = max(1, len(pool) // int(args.train.batch_size))
     saver.log_info("======= start training =======")
     for epoch in range(args.train.epochs):
-        for batch_idx, data in enumerate(loader_train.epoch(epoch)):
-            batch = {k: data[k] for k in ("audio", "f0", "volume", "units", "spk_id")}
-            if k_dispatch > 1:
+        epoch_iter = pool_epoch(epoch) if use_pool else loader_train.epoch(epoch)
+        for batch_idx, data in enumerate(epoch_iter):
+            if use_pool:
+                saver.global_step_increment()
+                state, loss = train_step(state, pool.arrays, data, rng)
+            else:
+                batch = {k: data[k] for k in ("audio", "f0", "volume", "units", "spk_id")}
+            if use_pool:
+                pass
+            elif k_dispatch > 1:
                 # stack K host microbatches, then shard once with the data
                 # axis at position 1 (behind the scan axis)
                 micro.append(batch)

@@ -152,6 +152,46 @@ def make_train_step_multi(
     return jax.jit(multi_step, donate_argnums=(0,))
 
 
+def make_train_step_pool(
+    model,
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    crop_frames: int,
+    block: int,
+    remat: bool = False,
+) -> Callable:
+    """Returns jitted (state, pool_arrays, idx, rng) -> (state, loss).
+
+    Device-resident data path (data/device_pool.py): `pool_arrays` are the
+    HBM-resident concatenated feature arrays (passed by reference — already
+    on device, nothing is uploaded), `idx` the few-bytes crop indices from
+    DevicePool.sample. The crop gather runs inside the same XLA program as
+    the step, so the hot loop's host->device traffic drops from ~13 MB to
+    ~200 B per step — the measured bottleneck on remote backends
+    (docs/KERNELS.md round-5 training profile)."""
+    from ..data.device_pool import gather_batch
+
+    def forward(params, constants, units, f0, volume, spk_id, rng_noise):
+        signal, _, _ = model.apply(
+            {"params": params, "constants": constants},
+            units, f0, volume, spk_id,
+            infer=False,
+            rngs={"noise": rng_noise},
+        )
+        return signal
+
+    if remat:
+        forward = jax.checkpoint(forward)
+
+    step_body = _make_step_body(forward, loss_fn, optimizer)
+
+    def pool_step(state: TrainState, pool_arrays, idx, rng):
+        batch = gather_batch(pool_arrays, idx, crop_frames, block)
+        return step_body(state, batch, rng)
+
+    return jax.jit(pool_step, donate_argnums=(0,), static_argnames=())
+
+
 def make_eval_step(model, mss_fn: Callable) -> Callable:
     """Returns jitted (variables, batch, rng) -> (signal, loss) for
     validation (deterministic multi-scale loss)."""

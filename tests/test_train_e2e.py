@@ -367,3 +367,107 @@ def test_solver_steps_per_dispatch_drains_remainder(tiny_data):
     )
     assert int(state.step) == n_batches
     assert saver.global_step == n_batches
+
+
+def test_device_pool_step_matches_host_batch():
+    """make_train_step_pool (device-resident data, on-device crop gather)
+    must produce exactly the host-batch step's result for the same crops."""
+    from ddsp_svc_tpu.data.device_pool import DevicePool, gather_batch
+    from ddsp_svc_tpu.models import CombSubFast
+    from ddsp_svc_tpu.train import make_train_step_pool
+
+    import jax.numpy as jnp
+
+    class FakeDataset:
+        waveform_sec = 1.0
+        sample_rate = SR
+        hop_size = HOP
+        n_aunit = 1
+        pass
+
+    rng = np.random.default_rng(5)
+    ds = FakeDataset()
+    ds.paths = ["1/a", "2/b"]
+    ds.data_buffer = {}
+    for i, rel in enumerate(ds.paths):
+        nf = 120 + 30 * i
+        ds.data_buffer[rel] = {
+            "duration": nf * HOP / SR,
+            "f0": (150.0 + 50 * i) * np.ones((nf, 1), np.float32),
+            "volume": rng.random(nf).astype(np.float32),
+            "audio": (0.2 * rng.standard_normal(nf * HOP)).astype(np.float16),
+            "units": [rng.standard_normal((nf, N_UNIT)).astype(np.float16)
+                      for _ in range(2)],
+            "spk_id": np.asarray([i + 1], dtype=np.int64),
+        }
+    pool = DevicePool(ds, HOP)
+    assert len(pool) == 2
+
+    import random as _random
+
+    idx = pool.sample([0, 1], _random.Random(3))
+    crop = pool.crop_frames
+
+    # the host batch the pool gather should reproduce
+    host = jax.device_get(gather_batch(pool.arrays, idx, crop, HOP))
+    for fi, pos in enumerate(idx["feat_start"]):
+        rel = ds.paths[fi]
+        start = int(pos - pool.feat_base[fi])
+        buf = ds.data_buffer[rel]
+        np.testing.assert_array_equal(
+            host["audio"][fi],
+            buf["audio"][start * HOP:(start + crop) * HOP].astype(np.float32))
+        np.testing.assert_array_equal(
+            host["f0"][fi, :, 0], buf["f0"][start:start + crop, 0])
+    # units crop must come from the sampled variant
+    for fi, upos in enumerate(idx["unit_start"]):
+        variant = int(np.where(
+            np.asarray(pool.unit_base[fi]) <= upos)[0][-1])
+        start = int(upos - pool.unit_base[fi][variant])
+        np.testing.assert_array_equal(
+            host["units"][fi],
+            ds.data_buffer[ds.paths[fi]]["units"][variant]
+            [start:start + crop].astype(np.float32))
+
+    # pool step == host step on the gathered batch
+    model = CombSubFast(sampling_rate=SR, block_size=HOP, n_unit=N_UNIT, n_spk=2)
+    optimizer = create_optimizer(1e-3)
+    state_a = create_train_state(model, optimizer, host, jax.random.key(0))
+    state_b = create_train_state(model, optimizer, host, jax.random.key(0))
+    rss = RSSLoss(128, 512, n_scale=2, n_buckets=4)
+    key = jax.random.key(2)
+
+    host_step = make_train_step(model, rss, optimizer)
+    state_a, loss_a = host_step(state_a, host, key)
+
+    pool_step = make_train_step_pool(model, rss, optimizer, crop, HOP)
+    state_b, loss_b = pool_step(state_b, pool.arrays, idx, key)
+
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+    for la, lb in zip(jax.tree_util.tree_leaves(state_a.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-3, atol=2e-5)
+
+
+def test_solver_data_on_device(tiny_data):
+    """solver.train with train.data_on_device: the pool path stages the
+    cache in device memory, trains, checkpoints, and counts steps."""
+    from ddsp_svc_tpu.models import build_model as _build
+    from ddsp_svc_tpu.train import solver
+
+    args = _args(tiny_data)
+    args["train"]["data_on_device"] = True
+    args["train"]["remat"] = None
+    args["train"]["epochs"] = 20
+    loader, valid = get_data_loaders(args)
+    model = _build(args)
+    optimizer = create_optimizer(1e-3)
+    batch = {k: v for k, v in next(iter(loader.epoch(0))).items() if k != "name"}
+    state = create_train_state(model, optimizer, batch, jax.random.key(0))
+    rss = RSSLoss(128, 512, n_scale=2, n_buckets=4)
+    state, saver = solver.train(
+        args, 0, model, state, optimizer, rss, loader, valid, max_steps=5
+    )
+    assert int(state.step) == 5
+    assert saver.global_step == 5

@@ -55,7 +55,10 @@ def main():
     optimizer = create_optimizer(5e-4)
     rss = RSSLoss(256, 2048, n_scale=4, n_buckets=8)
     state = create_train_state(model, optimizer, batch, jax.random.key(0))
-    params, constants = state.params, state.constants
+    # deep-copy: the full-step arm DONATES `state`, which would delete the
+    # buffers the other arms read
+    params = jax.tree.map(jnp.array, state.params)
+    constants = state.constants
     key = jax.random.key(1)
 
     def fwd(params, units, f0, volume, spk_id, noise_rng):
