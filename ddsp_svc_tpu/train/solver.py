@@ -127,6 +127,7 @@ def train(
     dataset_valid,
     max_steps: Optional[int] = None,
     batch_transform=None,
+    mesh=None,
 ):
     """Main loop (solver.py:85-143 parity). Returns final TrainState.
 
@@ -149,17 +150,33 @@ def train(
         # crops on device, so per-step host->device traffic is a few index
         # bytes instead of the full batch (the measured hot-loop bottleneck
         # on remote backends — docs/KERNELS.md round-5 training profile)
-        if k_dispatch > 1 or batch_transform is not None:
+        if k_dispatch > 1:
             raise ValueError(
-                "train.data_on_device is single-device, K=1 for now "
-                "(combine with steps_per_dispatch/DP sharding later)"
+                "train.data_on_device does not combine with "
+                "steps_per_dispatch yet"
+            )
+        if batch_transform is not None and mesh is None:
+            raise ValueError(
+                "train.data_on_device under data parallelism needs the "
+                "mesh (solver.train(mesh=...)) so the pool can be "
+                "replicated and the crop indices sharded"
             )
         from ..data.device_pool import DevicePool
+
+        put = None
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # pool arrays replicated on every chip (an SVC dataset is
+            # hundreds of MB — replication beats cross-chip gathers);
+            # per-step crop indices shard over 'data'
+            put = lambda x: jax.device_put(x, NamedSharding(mesh, P()))  # noqa: E731
 
         ds = getattr(loader_train, "dataset", None)
         if ds is None:  # PrefetchIterator wraps the BatchIterator
             ds = loader_train.inner.dataset
-        pool = DevicePool(ds, int(args.data.block_size))
+        pool = DevicePool(ds, int(args.data.block_size), device_put=put)
         saver.log_info(
             f" [pool] {len(pool)} files, {pool.nbytes() / 1e6:.0f} MB "
             "staged in device memory"
@@ -202,6 +219,14 @@ def train(
         epoch_iter = pool_epoch(epoch) if use_pool else loader_train.epoch(epoch)
         for batch_idx, data in enumerate(epoch_iter):
             if use_pool:
+                if mesh is not None:
+                    import jax
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    data = {
+                        k: jax.device_put(v, NamedSharding(mesh, P("data")))
+                        for k, v in data.items()
+                    }
                 saver.global_step_increment()
                 state, loss = train_step(state, pool.arrays, data, rng)
             else:

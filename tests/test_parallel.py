@@ -278,3 +278,50 @@ def test_gan_step_dp_matches_single_device():
     for a, c in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_dp_pool_step_matches_single_device(setup):
+    """Device-resident data pool (train.data_on_device) under data
+    parallelism: pool arrays replicated, crop indices sharded over 'data' —
+    must match the single-device pool step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ddsp_svc_tpu.train import make_train_step_pool
+
+    model, optimizer, batch, state0, rss = setup
+    b, n_frames, block, n_unit = 8, 8, 256, 64
+    rng = np.random.default_rng(4)
+    n_pool = 40 * n_frames
+    pool_np = {
+        "units": rng.standard_normal((n_pool, n_unit)).astype(np.float16),
+        "f0": (200 * rng.random(n_pool)).astype(np.float32),
+        "volume": rng.random(n_pool).astype(np.float32),
+        "audio": (0.2 * rng.standard_normal(n_pool * block)).astype(np.float16),
+    }
+    idx_np = {
+        "feat_start": rng.integers(0, n_pool - n_frames, b).astype(np.int32),
+        "unit_start": rng.integers(0, n_pool - n_frames, b).astype(np.int32),
+        "spk_id": np.ones((b, 1), np.int64),
+    }
+    step = make_train_step_pool(model, rss, optimizer, n_frames, block)
+
+    pool_single = {k: jnp.asarray(v) for k, v in pool_np.items()}
+    state_single = jax.tree.map(jnp.array, state0)
+    state_single, loss_single = step(state_single, pool_single, idx_np,
+                                     jax.random.key(0))
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    pool_dp = {k: jax.device_put(jnp.asarray(v), repl)
+               for k, v in pool_np.items()}
+    idx_dp = {k: jax.device_put(v, data) for k, v in idx_np.items()}
+    state_dp = shard_train_state(jax.tree.map(jnp.array, state0), mesh)
+    state_dp, loss_dp = step(state_dp, pool_dp, idx_dp, jax.random.key(0))
+
+    np.testing.assert_allclose(float(loss_single), float(loss_dp), rtol=2e-4)
+    for x, y in zip(jax.tree.leaves(state_single.params),
+                    jax.tree.leaves(state_dp.params)):
+        diff = np.abs(np.asarray(x) - np.asarray(y))
+        assert np.quantile(diff, 0.99) < 1e-4, diff.max()
+        assert diff.max() < 4e-3, diff.max()

@@ -76,6 +76,7 @@ def main():
 
     # multi-device: shard the state and every batch over a (data, model) mesh
     batch_transform = None
+    solver_mesh = None
     n_dev = len(jax.devices())
     if n_dev > 1 and not cmd.no_data_parallel:
         from ddsp_svc_tpu.parallel import (
@@ -93,6 +94,7 @@ def main():
         print(f" > mesh: data={n_data} x model={n_model}")
         state = shard_train_state(state, mesh)
         batch_transform = lambda b, **kw: shard_batch(b, mesh, **kw)  # noqa: E731
+        solver_mesh = mesh
 
     rss = RSSLoss(
         fft_min=int(args.loss.fft_min),
@@ -102,7 +104,7 @@ def main():
     solver.train(
         args, initial_step, model, state, optimizer, rss,
         loader_train, dataset_valid, max_steps=cmd.max_steps,
-        batch_transform=batch_transform,
+        batch_transform=batch_transform, mesh=solver_mesh,
     )
 
 
