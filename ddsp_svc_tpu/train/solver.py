@@ -165,7 +165,6 @@ def train(
 
         put = None
         if mesh is not None:
-            import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             # pool arrays replicated on every chip (an SVC dataset is
@@ -220,7 +219,6 @@ def train(
         for batch_idx, data in enumerate(epoch_iter):
             if use_pool:
                 if mesh is not None:
-                    import jax
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
                     data = {
