@@ -962,6 +962,16 @@ def _rb_conv_cf(h, mask, w_ref, b_ref, i, j, k, d, n_ch, mxu_bf16,
     return acc + b_ref[i, j, 0, :n_ch][:, None]
 
 
+_PAIR_TILES = False  # force-enable: process TWO whole tiles per grid
+# program with their 2x3 independent chains emitted stepwise — unlike
+# `split` (which halves a tile and pays duplicated halos) the tiles already
+# carry their own halos, so this buys VPU/MXU overlap for free VMEM-wise.
+# Default-on at C <= _PAIR_MAX_C where it measured -2.5/-2.7% (C=16/32,
+# batch 128, interleaved A/B); at C=64 the doubled live set fails to
+# compile (tools/ab_trio_pair.py).
+_PAIR_MAX_C = 32
+
+
 _INTERLEAVE = True  # emit the three independent resblock chains stepwise
 # (conv-by-conv across resblocks) instead of chain-by-chain: Mosaic
 # schedules largely in program order, so interleaving gives it one chain's
@@ -1012,6 +1022,68 @@ def _trio_chain(x, mask, w_refs, b_refs, kernel_sizes, dilations, mxu_bf16,
             h = h + t
         acc = h if acc is None else acc + h
     return acc / len(kernel_sizes)
+
+
+def _trio_chain_multi(xs, masks, w_refs, b_refs, kernel_sizes, dilations,
+                      mxu_bf16, roll_im2col):
+    """Resblock trios for SEVERAL independent tiles, emitted conv-by-conv
+    across every (tile, resblock) chain: Mosaic schedules largely in
+    program order, so one tile's tap rolls (VPU) can run under another
+    tile's conv dots (MXU). Returns one (C, W) accumulator per tile."""
+    n_ch = xs[0].shape[0]
+    hs = [[x] * len(kernel_sizes) for x in xs]
+    for i, d in enumerate(dilations):
+        for j, (w_ref, b_ref, k) in enumerate(
+            zip(w_refs, b_refs, kernel_sizes)
+        ):
+            for tn in range(len(xs)):
+                t = _leaky_k(hs[tn][j])
+                t = _rb_conv_cf(t, masks[tn], w_ref, b_ref, i, 0, k, d,
+                                n_ch, mxu_bf16, roll_im2col)
+                hs[tn][j] = (hs[tn][j], t)
+        for j, (w_ref, b_ref, k) in enumerate(
+            zip(w_refs, b_refs, kernel_sizes)
+        ):
+            for tn in range(len(xs)):
+                h, t = hs[tn][j]
+                t = _leaky_k(t)
+                t = _rb_conv_cf(t, masks[tn], w_ref, b_ref, i, 1, k, 1,
+                                n_ch, mxu_bf16, roll_im2col)
+                hs[tn][j] = h + t
+    outs = []
+    for tn in range(len(xs)):
+        acc = None
+        for h in hs[tn]:
+            acc = h if acc is None else acc + h
+        outs.append(acc / len(kernel_sizes))
+    return outs
+
+
+def _fused_rb_kernel_pair(
+    x_ref, *refs,
+    kernel_sizes, dilations, mxu_bf16, n_tiles, tile, seq_len, roll_im2col,
+):
+    """Two whole tiles per grid program (`_PAIR_TILES` experiment)."""
+    n_rb = len(kernel_sizes)
+    w_refs = refs[:n_rb]
+    b_refs = refs[n_rb:2 * n_rb]
+    out_ref = refs[2 * n_rb]
+    pid = pl.program_id(0)
+    xs, masks = [], []
+    for row in range(2):
+        rglob = pid * 2 + row
+        tile_idx = rglob % n_tiles
+        xr = x_ref[row]
+        g = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, xr.shape[1]), 1)
+            + tile_idx * tile - _RB_HALO
+        )
+        masks.append(((g >= 0) & (g < seq_len)).astype(xr.dtype))
+        xs.append(xr)
+    accs = _trio_chain_multi(xs, masks, w_refs, b_refs, kernel_sizes,
+                             dilations, mxu_bf16, roll_im2col)
+    for row in range(2):
+        out_ref[row, :, :] = accs[row][:, _RB_HALO:-_RB_HALO]
 
 
 def _fused_rb_kernel(
@@ -1195,6 +1267,31 @@ def _fused_resblocks_fwd_impl(
     full = lambda arr: pl.BlockSpec(
         arr.shape, lambda r: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )
+    if ((_PAIR_TILES or c <= _PAIR_MAX_C)
+            and inject is None and valid is None and split == 1
+            and (b * n_tiles) % 2 == 0):
+        pair_kernel = functools.partial(
+            _fused_rb_kernel_pair, kernel_sizes=kernel_sizes,
+            dilations=dilations, mxu_bf16=mxu_bf16, n_tiles=n_tiles,
+            tile=tile, seq_len=t,
+            roll_im2col=not interpret and not _PER_TAP,
+        )
+        out = pl.pallas_call(
+            pair_kernel,
+            out_shape=jax.ShapeDtypeStruct((b * n_tiles, c, tile),
+                                           jnp.float32),
+            grid=(b * n_tiles // 2,),
+            in_specs=(
+                [pl.BlockSpec((2, c, width), lambda r: (r, 0, 0),
+                              memory_space=pltpu.VMEM)]
+                + [full(a) for a in w_in] + [full(a) for a in b_in]
+            ),
+            out_specs=pl.BlockSpec((2, c, tile), lambda r: (r, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(tiles, *w_in, *b_in)
+        out = out.reshape(b, n_tiles, c, tile).transpose(0, 1, 3, 2)
+        return out.reshape(b, t_pad, c)[:, :t].astype(x.dtype)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b * n_tiles, c, tile), jnp.float32),
