@@ -230,6 +230,76 @@ def train_gan(args, max_steps: Optional[int] = None, mesh=None):
         a, h["sampling_rate"], h["n_fft"], h["hop_size"], h["win_size"],
         h["num_mels"], h["fmin"], h["fmax"]), 1, 2))
 
+    # device-resident data (train.gan.data_on_device / train.data_on_device):
+    # stage every (audio, f0) clip in HBM once; the jitted gather slices the
+    # crops AND computes the mel on device, so the per-step host->device
+    # traffic is the (B,) start indices — same rationale as the main loop's
+    # DevicePool (docs/KERNELS.md round-5 training profile)
+    use_pool = bool(
+        (gan_cfg and gan_cfg.data_on_device)
+        or (args.train.data_on_device or False)
+    )
+    pool = clip_base = clip_max_start = None
+    if use_pool:
+        hop = int(h["hop_size"])
+        t_crop = crop_frames * hop
+        audio_parts, f0_parts, base, kmax = [], [], [], []
+        fb = 0
+        for audio, f0 in train_set.clips:
+            nf = len(f0)
+            a = np.zeros(nf * hop, np.float32)
+            a[: min(len(audio), nf * hop)] = audio[: nf * hop]
+            audio_parts.append(a.astype(np.float16))
+            f0_parts.append(f0.astype(np.float32))
+            base.append(fb)
+            kmax.append(max(0, len(audio) // hop - crop_frames - 1))
+            fb += nf
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            put = lambda x: jax.device_put(  # noqa: E731
+                jnp.asarray(x), NamedSharding(mesh, P()))
+        else:
+            put = lambda x: jax.device_put(jnp.asarray(x))  # noqa: E731
+        pool = {
+            "audio": put(np.concatenate(audio_parts)),
+            "f0": put(np.concatenate(f0_parts)),
+        }
+        clip_base = np.asarray(base, dtype=np.int64)
+        clip_max_start = np.asarray(kmax, dtype=np.int64)
+        print(f" [pool] {len(train_set.clips)} clips, "
+              f"{sum(a.nbytes for a in audio_parts) / 1e6:.0f} MB audio "
+              "staged in device memory")
+
+        @jax.jit
+        def gather_gan(arrays, starts):
+            def one(s):
+                return (
+                    jax.lax.dynamic_slice(arrays["audio"], (s * hop,),
+                                          (t_crop,)),
+                    jax.lax.dynamic_slice(arrays["f0"], (s,), (crop_frames,)),
+                )
+
+            a, f0g = jax.vmap(one)(starts)
+            a = a.astype(jnp.float32)
+            mel = jnp.swapaxes(log_mel_spectrogram(
+                a, h["sampling_rate"], h["n_fft"], h["hop_size"],
+                h["win_size"], h["num_mels"], h["fmin"], h["fmax"]), 1, 2)
+            return {"audio": a, "f0": f0g, "mel": mel}
+
+        def pool_batch(rng):
+            clips_i = rng.integers(len(train_set.clips), size=batch_size)
+            ks = np.asarray([
+                rng.integers(clip_max_start[c] + 1) for c in clips_i
+            ])
+            starts = (clip_base[clips_i] + ks).astype(np.int32)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                starts = jax.device_put(starts,
+                                        NamedSharding(mesh, P("data")))
+            return gather_gan(pool, starts)
+
     @jax.jit
     def val_mel_l1(g_params, mel, f0, audio):
         y = generator.apply({"params": g_params}, mel, f0,
@@ -249,12 +319,15 @@ def train_gan(args, max_steps: Optional[int] = None, mesh=None):
     start = int(state.step)
     logs: Dict = {}
     for step in range(start, max_steps):
-        batch_np = train_set.sample_batch(rng_np, batch_size, crop_frames)
-        batch = {
-            "audio": jnp.asarray(batch_np["audio"]),
-            "f0": jnp.asarray(batch_np["f0"]),
-        }
-        batch["mel"] = mel_of(batch["audio"])
+        if use_pool:
+            batch = pool_batch(rng_np)
+        else:
+            batch_np = train_set.sample_batch(rng_np, batch_size, crop_frames)
+            batch = {
+                "audio": jnp.asarray(batch_np["audio"]),
+                "f0": jnp.asarray(batch_np["f0"]),
+            }
+            batch["mel"] = mel_of(batch["audio"])
         key, kd, kg = jax.random.split(key, 3)
         state, d_logs = trainer.step_d(state, batch, kd)
         state, g_logs = trainer.step_g(state, batch, kg)

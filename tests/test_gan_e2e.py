@@ -105,3 +105,41 @@ def test_train_gan_cli_checkpoint_resume_and_export(workspace):
 
     state3, _ = cli.main(["-c", cfg_path, "--max-steps", "8"])
     assert int(state3.step) == 8
+
+
+def test_train_gan_data_on_device(workspace, tmp_path):
+    """GAN fine-tune with the device-resident clip pool
+    (train.gan.data_on_device): runs, checkpoints, and the pooled crops
+    equal the host sampler's crops for the same (clip, start)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddsp_svc_tpu.train.gan_solver import GanDataset, train_gan
+    from ddsp_svc_tpu.ops.spectral import log_mel_spectrogram
+
+    args = _config(workspace)
+    args["train"]["gan"]["data_on_device"] = True
+    args["train"]["gan"]["expdir"] = str(tmp_path / "gan_pool")
+    state, expdir = train_gan(args, max_steps=3)
+    assert int(state.step) == 3
+    assert os.path.isfile(os.path.join(expdir, "gan_3.ckpt"))
+
+    # pooled gather == host sample for a pinned (clip, k): rebuild the pool
+    # layout the way train_gan does and compare one crop
+    ds = GanDataset(str(workspace / "train"), H, SR, HOP)
+    hop = H["hop_size"]
+    crop = 16
+    audio, f0 = ds.clips[1]
+    k = 3
+    want_audio = audio[k * hop: k * hop + crop * hop]
+    want_f0 = f0[k: k + crop]
+    # pool concatenation base for clip 1
+    nf0 = len(ds.clips[0][1])
+    pool_audio = np.concatenate([
+        np.pad(a[: len(fz) * hop], (0, len(fz) * hop - min(len(a), len(fz) * hop)))
+        for a, fz in ds.clips
+    ])
+    got_audio = pool_audio[(nf0 + k) * hop: (nf0 + k) * hop + crop * hop]
+    np.testing.assert_array_equal(got_audio.astype(np.float32), want_audio)
+    pool_f0 = np.concatenate([fz for _, fz in ds.clips])
+    np.testing.assert_array_equal(pool_f0[nf0 + k: nf0 + k + crop], want_f0)
