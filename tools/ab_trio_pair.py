@@ -24,6 +24,7 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--channels", type=int, nargs="+", default=[64, 32, 16])
+    p.add_argument("--tile", type=int, default=None)
     args = p.parse_args()
 
     import jax
@@ -58,7 +59,7 @@ def main():
                     lambda xx: jnp.sum(pk.fused_resblocks_pallas(
                         x=xx, w0=ws[0], w1=ws[1], w2=ws[2],
                         b0=bs[0], b1=bs[1], b2=bs[2],
-                        kernel_sizes=ks, dilations=dils, tile=None,
+                        kernel_sizes=ks, dilations=dils, tile=args.tile,
                         mxu_bf16=False, interpret=False,
                     ))
                 )
