@@ -63,24 +63,37 @@ def main(bf16: bool = False, steps_per_dispatch: int = 1, batch: int = 24,
             "audio": jax.device_put(jnp.asarray(
                 rng.standard_normal(n_pool * block).astype(np.float16))),
         }
-        step = make_train_step_pool(model, rss, optimizer, n_frames, block)
-
-        def idx_at(i):
+        def idx_at(i, shape):
             r = np.random.default_rng(i)
             return {
-                "feat_start": r.integers(0, n_pool - n_frames, b).astype(np.int32),
-                "unit_start": r.integers(0, n_pool - n_frames, b).astype(np.int32),
-                "spk_id": np.ones((b, 1), np.int64),
+                "feat_start": r.integers(0, n_pool - n_frames, shape).astype(np.int32),
+                "unit_start": r.integers(0, n_pool - n_frames, shape).astype(np.int32),
+                "spk_id": np.ones(shape + (1,), np.int64),
             }
 
-        state, loss = step(state, pool, idx_at(0), rng_key)
-        _ = float(loss)
-        n_iters = 30
-        st = time.perf_counter()
-        for i in range(1, n_iters + 1):
-            state, loss = step(state, pool, idx_at(i), rng_key)
+        if k > 1:
+            from ddsp_svc_tpu.train import make_train_step_pool_multi
+
+            step = make_train_step_pool_multi(model, rss, optimizer,
+                                              n_frames, block)
+            state, losses = step(state, pool, idx_at(0, (k, b)), rng_key)
+            _ = float(losses[-1])
+            n_iters = max(64 // k, 4)
+            st = time.perf_counter()
+            for i in range(1, n_iters + 1):
+                state, losses = step(state, pool, idx_at(i, (k, b)), rng_key)
+                _ = float(losses[-1])
+            dt = (time.perf_counter() - st) / (n_iters * k)
+        else:
+            step = make_train_step_pool(model, rss, optimizer, n_frames, block)
+            state, loss = step(state, pool, idx_at(0, (b,)), rng_key)
             _ = float(loss)
-        dt = (time.perf_counter() - st) / n_iters
+            n_iters = 30
+            st = time.perf_counter()
+            for i in range(1, n_iters + 1):
+                state, loss = step(state, pool, idx_at(i, (b,)), rng_key)
+                _ = float(loss)
+            dt = (time.perf_counter() - st) / n_iters
     elif k > 1:
         # K optimizer steps per dispatch (train.steps_per_dispatch): scan
         # over K stacked microbatches — amortizes the relay's per-call floor

@@ -11,6 +11,7 @@ from .step import (
     make_train_step,
     make_train_step_multi,
     make_train_step_pool,
+    make_train_step_pool_multi,
     make_eval_step,
 )
 from .saver import Saver
@@ -19,6 +20,6 @@ from . import solver
 __all__ = [
     "save_checkpoint", "restore_checkpoint", "restore_variables", "latest_checkpoint",
     "TrainState", "create_optimizer", "create_train_state",
-    "make_train_step", "make_train_step_multi", "make_train_step_pool", "make_eval_step",
+    "make_train_step", "make_train_step_multi", "make_train_step_pool", "make_train_step_pool_multi", "make_eval_step",
     "Saver", "solver",
 ]

@@ -19,7 +19,7 @@ import jax
 from .saver import Saver
 from .step import (
     TrainState, make_train_step, make_train_step_multi,
-    make_train_step_pool, make_eval_step,
+    make_train_step_pool, make_train_step_pool_multi, make_eval_step,
 )
 
 
@@ -150,11 +150,6 @@ def train(
         # crops on device, so per-step host->device traffic is a few index
         # bytes instead of the full batch (the measured hot-loop bottleneck
         # on remote backends — docs/KERNELS.md round-5 training profile)
-        if k_dispatch > 1:
-            raise ValueError(
-                "train.data_on_device does not combine with "
-                "steps_per_dispatch yet"
-            )
         if batch_transform is not None and mesh is None:
             raise ValueError(
                 "train.data_on_device under data parallelism needs the "
@@ -180,10 +175,20 @@ def train(
             f" [pool] {len(pool)} files, {pool.nbytes() / 1e6:.0f} MB "
             "staged in device memory"
         )
-        train_step = make_train_step_pool(
-            model, rss, optimizer, pool.crop_frames, pool.block,
-            remat=bool(args.train.remat),
-        )
+        if k_dispatch > 1:
+            # pool + K-step scan: with the dataset in HBM the step runs in
+            # tens of ms, so the per-dispatch overhead dominates — scanning
+            # K steps per call is a ~3x multiplier here (measured: pool K=1
+            # 37 ms/step -> K=32 10.1 ms/step, docs/KERNELS.md)
+            train_step = make_train_step_pool_multi(
+                model, rss, optimizer, pool.crop_frames, pool.block,
+                remat=bool(args.train.remat),
+            )
+        else:
+            train_step = make_train_step_pool(
+                model, rss, optimizer, pool.crop_frames, pool.block,
+                remat=bool(args.train.remat),
+            )
     elif k_dispatch > 1:
         train_step = make_train_step_multi(
             model, rss, optimizer, remat=bool(args.train.remat)
@@ -218,15 +223,27 @@ def train(
         epoch_iter = pool_epoch(epoch) if use_pool else loader_train.epoch(epoch)
         for batch_idx, data in enumerate(epoch_iter):
             if use_pool:
+                if k_dispatch > 1:
+                    micro.append(data)
+                    if len(micro) < k_dispatch:
+                        continue
+                    data = {
+                        k: np.stack([m[k] for m in micro]) for k in micro[0]
+                    }
+                    micro = []
                 if mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
+                    spec = (P(None, "data") if k_dispatch > 1 else P("data"))
                     data = {
-                        k: jax.device_put(v, NamedSharding(mesh, P("data")))
+                        k: jax.device_put(v, NamedSharding(mesh, spec))
                         for k, v in data.items()
                     }
-                saver.global_step_increment()
+                for _ in range(k_dispatch):
+                    saver.global_step_increment()
                 state, loss = train_step(state, pool.arrays, data, rng)
+                if k_dispatch > 1:
+                    loss = loss[-1]
             else:
                 batch = {k: data[k] for k in ("audio", "f0", "volume", "units", "spk_id")}
             if use_pool:
@@ -287,14 +304,30 @@ def train(
         # epochs exhausted with a partial K-dispatch pending: drain the
         # leftover microbatches through single steps (same RNG semantics —
         # the per-step key folds in state.step either way)
-        single_step = make_train_step(
-            model, rss, optimizer, remat=bool(args.train.remat)
-        )
-        for batch in micro:
-            if batch_transform is not None:
-                batch = batch_transform(batch)
-            saver.global_step_increment()
-            state, loss = single_step(state, batch, rng)
+        if use_pool:
+            single_step = make_train_step_pool(
+                model, rss, optimizer, pool.crop_frames, pool.block,
+                remat=bool(args.train.remat),
+            )
+            for idx in micro:
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    idx = {
+                        k: jax.device_put(v, NamedSharding(mesh, P("data")))
+                        for k, v in idx.items()
+                    }
+                saver.global_step_increment()
+                state, loss = single_step(state, pool.arrays, idx, rng)
+        else:
+            single_step = make_train_step(
+                model, rss, optimizer, remat=bool(args.train.remat)
+            )
+            for batch in micro:
+                if batch_transform is not None:
+                    batch = batch_transform(batch)
+                saver.global_step_increment()
+                state, loss = single_step(state, batch, rng)
         saver.log_info(
             f"drained {len(micro)} pending microbatches at end of training"
         )

@@ -192,6 +192,51 @@ def make_train_step_pool(
     return jax.jit(pool_step, donate_argnums=(0,), static_argnames=())
 
 
+def make_train_step_pool_multi(
+    model,
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    crop_frames: int,
+    block: int,
+    remat: bool = False,
+) -> Callable:
+    """Pool + K-step scan combined: (state, pool_arrays, idx(K,B), rng) ->
+    (state, losses(K,)).
+
+    With the dataset resident in HBM the step runs in tens of ms, so the
+    per-dispatch overhead (relay artifact ~10-25 ms/call) becomes a large
+    FRACTION of wall-clock — exactly the regime where scanning K full
+    optimizer steps (each gathering its own crops on device) per dispatch
+    pays. Host traffic per dispatch: (K, B) index scalars. RNG/step
+    semantics identical to K calls of the pool step."""
+    from ..data.device_pool import gather_batch
+
+    def forward(params, constants, units, f0, volume, spk_id, rng_noise):
+        signal, _, _ = model.apply(
+            {"params": params, "constants": constants},
+            units, f0, volume, spk_id,
+            infer=False,
+            rngs={"noise": rng_noise},
+        )
+        return signal
+
+    if remat:
+        forward = jax.checkpoint(forward)
+
+    step_body = _make_step_body(forward, loss_fn, optimizer)
+
+    def pool_multi_step(state: TrainState, pool_arrays, idx, rng):
+        def body(carry, idx_k):
+            batch = gather_batch(pool_arrays, idx_k, crop_frames, block)
+            new_state, loss = step_body(carry, batch, rng)
+            return new_state, loss
+
+        state, losses = jax.lax.scan(body, state, idx)
+        return state, losses
+
+    return jax.jit(pool_multi_step, donate_argnums=(0,))
+
+
 def make_eval_step(model, mss_fn: Callable) -> Callable:
     """Returns jitted (variables, batch, rng) -> (signal, loss) for
     validation (deterministic multi-scale loss)."""

@@ -471,3 +471,84 @@ def test_solver_data_on_device(tiny_data):
     )
     assert int(state.step) == 5
     assert saver.global_step == 5
+
+
+def test_pool_multi_step_matches_pool_single_steps():
+    """make_train_step_pool_multi (pool + K-step scan) must reproduce K
+    pool-step calls up to fusion-order rounding."""
+    from ddsp_svc_tpu.models import CombSubFast
+    from ddsp_svc_tpu.train import (
+        make_train_step_pool, make_train_step_pool_multi,
+    )
+
+    import jax.numpy as jnp
+
+    k, b, n_frames, block, n_unit = 3, 2, 8, 256, 64
+    rng = np.random.default_rng(9)
+    n_pool = 30 * n_frames
+    pool = {
+        "units": jnp.asarray(rng.standard_normal((n_pool, n_unit)).astype(np.float16)),
+        "f0": jnp.asarray((150 + 100 * rng.random(n_pool)).astype(np.float32)),
+        "volume": jnp.asarray(rng.random(n_pool).astype(np.float32)),
+        "audio": jnp.asarray((0.2 * rng.standard_normal(n_pool * block)).astype(np.float16)),
+    }
+    idx_k = {
+        "feat_start": rng.integers(0, n_pool - n_frames, (k, b)).astype(np.int32),
+        "unit_start": rng.integers(0, n_pool - n_frames, (k, b)).astype(np.int32),
+        "spk_id": np.ones((k, b, 1), np.int64),
+    }
+    model = CombSubFast(sampling_rate=SR, block_size=block, n_unit=n_unit, n_spk=2)
+    optimizer = create_optimizer(1e-3)
+    example = {
+        "audio": np.zeros((b, n_frames * block), np.float32),
+        "units": np.zeros((b, n_frames, n_unit), np.float32),
+        "f0": np.ones((b, n_frames, 1), np.float32),
+        "volume": np.zeros((b, n_frames), np.float32),
+        "spk_id": np.ones((b, 1), np.int64),
+    }
+    rss = RSSLoss(128, 512, n_scale=2, n_buckets=4)
+    key = jax.random.key(6)
+
+    single = make_train_step_pool(model, rss, optimizer, n_frames, block)
+    state_a = create_train_state(model, optimizer, example, jax.random.key(0))
+    losses_a = []
+    for s in range(k):
+        idx = {kk: v[s] for kk, v in idx_k.items()}
+        state_a, loss = single(state_a, pool, idx, key)
+        losses_a.append(float(loss))
+
+    multi = make_train_step_pool_multi(model, rss, optimizer, n_frames, block)
+    state_b = create_train_state(model, optimizer, example, jax.random.key(0))
+    state_b, losses_b = multi(state_b, pool, idx_k, key)
+
+    np.testing.assert_allclose(np.asarray(losses_b), np.asarray(losses_a),
+                               rtol=2e-4)
+    assert int(state_b.step) == int(state_a.step) == k
+    for la, lb in zip(jax.tree_util.tree_leaves(state_a.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-2, atol=5e-3)
+
+
+def test_solver_data_on_device_with_k_dispatch(tiny_data):
+    """solver.train with data_on_device + steps_per_dispatch=2: the combined
+    pool+scan path trains and keeps step accounting consistent."""
+    from ddsp_svc_tpu.models import build_model as _build
+    from ddsp_svc_tpu.train import solver
+
+    args = _args(tiny_data)
+    args["train"]["data_on_device"] = True
+    args["train"]["steps_per_dispatch"] = 2
+    args["train"]["remat"] = None
+    args["train"]["epochs"] = 30
+    loader, valid = get_data_loaders(args)
+    model = _build(args)
+    optimizer = create_optimizer(1e-3)
+    batch = {k: v for k, v in next(iter(loader.epoch(0))).items() if k != "name"}
+    state = create_train_state(model, optimizer, batch, jax.random.key(0))
+    rss = RSSLoss(128, 512, n_scale=2, n_buckets=4)
+    state, saver = solver.train(
+        args, 0, model, state, optimizer, rss, loader, valid, max_steps=6
+    )
+    assert int(state.step) == 6
+    assert saver.global_step == 6
